@@ -1,0 +1,172 @@
+"""Deterministic mention + relation extraction rules.
+
+Replaces the reference's per-chunk LLM calls (src/idea_extractor.py:63-103,
+src/relation_extractor.py:19-56) with a dictionary matcher (longest-match,
+word-boundary, non-overlapping) plus part-number patterns and verb-phrase
+relation rules. One implementation, imported by BOTH the Spark mapInPandas
+UDF (vectorized loop over Arrow batches; matcher built once per executor)
+and the pure-Python oracle — parity by construction.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+from functools import lru_cache
+
+from . import semantics as S
+
+# Part numbers like lm317, ad8232, ne555, stm32f103 — after preprocessing
+# text is lowercase.
+PART_NUMBER_INNER = r"[a-z]{1,4}\d{2,5}[a-z0-9]*(?:-[a-z0-9]+)?"
+PART_NUMBER_RE = re.compile(r"\b(" + PART_NUMBER_INNER + r")\b")
+
+
+def pluralize_token(tok: str) -> str:
+    """Inverse of semantics._singularize_token for variant generation."""
+    if tok.endswith(("s", "x", "z", "ch", "sh")):
+        return tok + "es"
+    if tok.endswith("y") and len(tok) > 1 and tok[-2] not in "aeiou":
+        return tok[:-1] + "ies"
+    return tok + "s"
+
+
+def surface_variants(name: str) -> list[str]:
+    """Lowercased surface + head-token plural variant."""
+    base = name.lower().strip()
+    parts = base.split(" ")
+    plural = " ".join(parts[:-1] + [pluralize_token(parts[-1])])
+    out = [base]
+    if plural != base:
+        out.append(plural)
+    return out
+
+
+@dataclass(frozen=True)
+class Mention:
+    surface: str        # matched text as found (lowercase)
+    char_offset: int
+
+
+class DictionaryMatcher:
+    """Longest-match-first, word-boundary, non-overlapping scanner.
+
+    Implemented as one compiled alternation regex sorted longest-first —
+    the C regex engine gives leftmost-longest-alternative semantics and
+    scans each Arrow batch without Python-per-char work. Built once per
+    executor (lru_cache on the frozen vocabulary).
+    """
+
+    def __init__(self, surfaces: tuple[str, ...]):
+        vocab: set[str] = set()
+        for s in surfaces:
+            vocab.update(surface_variants(s))
+        ordered = sorted(vocab, key=len, reverse=True)
+        if ordered:
+            pat = r"\b(" + "|".join(re.escape(v) for v in ordered) + r")\b"
+            self._rx: re.Pattern[str] | None = re.compile(pat)
+        else:
+            self._rx = None
+
+    def find(self, text: str) -> list[Mention]:
+        out: list[Mention] = []
+        if self._rx is not None:
+            for m in self._rx.finditer(text):
+                out.append(Mention(m.group(1), m.start(1)))
+        for m in PART_NUMBER_RE.finditer(text):
+            out.append(Mention(m.group(1), m.start(1)))
+        # Drop part-number hits fully inside a dictionary hit (overlap);
+        # dictionary hits themselves are non-overlapping by regex scan.
+        dict_spans = [(mm.char_offset, mm.char_offset + len(mm.surface))
+                      for mm in out if not PART_NUMBER_RE.fullmatch(mm.surface)]
+        filtered = []
+        seen: set[tuple[str, int]] = set()
+        for mm in out:
+            key = (mm.surface, mm.char_offset)
+            if key in seen:
+                continue
+            seen.add(key)
+            if PART_NUMBER_RE.fullmatch(mm.surface):
+                inside = any(lo <= mm.char_offset and mm.char_offset + len(mm.surface) <= hi
+                             and (lo, hi) != (mm.char_offset, mm.char_offset + len(mm.surface))
+                             for lo, hi in dict_spans)
+                if inside:
+                    continue
+            filtered.append(mm)
+        filtered.sort(key=lambda m: (m.char_offset, -len(m.surface)))
+        return filtered
+
+
+@lru_cache(maxsize=8)
+def get_matcher(surfaces: tuple[str, ...]) -> DictionaryMatcher:
+    return DictionaryMatcher(surfaces)
+
+
+# ---------------------------------------------------------------------------
+# Relation patterns — verb phrases between two NOUN slots. A slot accepts
+# any dictionary/part-number mention text; patterns run over the
+# preprocessed sentence and both captures must be known mentions.
+# ---------------------------------------------------------------------------
+
+_RELATION_PATTERNS: list[tuple[re.Pattern[str], str, bool]] = [
+    # (regex with groups A,B, predicate, swap) — swap=True → (B, pred, A)
+    (re.compile(r"(?P<a>{M}) is (?:a|an) (?:type of )?(?P<b>{M})"), "subclass_of", False),
+    (re.compile(r"(?P<a>{M}) (?:is )?manufactured by (?P<b>{M})"), "manufacturer", False),
+    (re.compile(r"(?P<b>{M}) manufactures (?:the )?(?P<a>{M})"), "manufacturer", False),
+    (re.compile(r"(?P<a>{M}) (?:includes|contains|consists of) (?:a |an |the )?(?P<b>{M})"), "hasPart", False),
+    (re.compile(r"(?P<a>{M}) conforms to (?:the )?(?P<b>{M})"), "conformsTo", False),
+    (re.compile(r"(?P<a>{M}) (?:connects|is connected) to (?:a |an |the )?(?P<b>{M})"), "connectedTo", False),
+    (re.compile(r"(?P<a>{M}) operates in (?:the )?(?P<b>{M})"), "operatesIn", False),
+    (re.compile(r"(?P<a>{M}) has (?:a |an )?(?P<b>{M}) feature"), "hasFeature", False),
+]
+
+
+@lru_cache(maxsize=8)
+def _compiled_relation_patterns(surfaces: tuple[str, ...]):
+    vocab: set[str] = set()
+    for s in surfaces:
+        vocab.update(surface_variants(s))
+    ordered = sorted(vocab, key=len, reverse=True)
+    alts = [re.escape(v) for v in ordered]
+    alts.append(PART_NUMBER_INNER)
+    mention_pat = "(?:" + "|".join(alts) + ")"
+    compiled = []
+    for rx, pred, swap in _RELATION_PATTERNS:
+        compiled.append((re.compile(rx.pattern.replace("{M}", mention_pat)), pred, swap))
+    return compiled
+
+
+def find_relations(text: str, surfaces: tuple[str, ...]) -> list[tuple[str, str, str]]:
+    """Extract (subj, pred, obj) triples from preprocessed text.
+
+    'X is a Y' where X is a part number emits instance_of instead of
+    subclass_of (gold-standard convention).
+    """
+    out: list[tuple[str, str, str]] = []
+    for rx, pred, swap in _compiled_relation_patterns(surfaces):
+        for m in rx.finditer(text):
+            a, b = m.group("a"), m.group("b")
+            if swap:
+                a, b = b, a
+            p = pred
+            if pred == "subclass_of" and PART_NUMBER_RE.fullmatch(a):
+                p = "instance_of"
+            if a != b:
+                out.append((a, p, b))
+    # de-dup preserving first occurrence order
+    seen: set[tuple[str, str, str]] = set()
+    uniq = []
+    for t in out:
+        if t not in seen:
+            seen.add(t)
+            uniq.append(t)
+    return uniq
+
+
+def extract_document(text: str, surfaces: tuple[str, ...]) -> tuple[list[Mention], list[tuple[str, str, str]]]:
+    """Full per-document extraction: mentions (E1) + relations (E4),
+    before the validity filter (E2) which runs relationally."""
+    matcher = get_matcher(surfaces)
+    mentions = matcher.find(text)
+    relations = find_relations(text, surfaces)
+    return mentions, relations

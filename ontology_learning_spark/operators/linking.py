@@ -1,0 +1,255 @@
+"""Entity linking (SURVEY.md §2.3 M1-M6): blocked candidate generation +
+scored joins against the entity catalog.
+
+Scale shape (the part that must survive 100 TB):
+- the catalog is small relative to the corpus → every catalog join is a
+  **broadcast** join; the mention side never shuffles for linking;
+- linking operates on DISTINCT normalized concepts (vocabulary-bounded,
+  not corpus-bounded) — the reference dedups before its per-concept
+  loop for the same reason (src/idea_extractor.py:121);
+- the embedding band (M2) is a broadcast nested-loop join whose cosine
+  runs JVM-side via higher-order array functions — zero Python;
+- the fuzzy bands (M3-fuzzy / M5) only score **blocked** pairs (shared
+  token or 4-char prefix, semantics.block_keys) — never all-pairs; the
+  SequenceMatcher ratio runs vectorized in a pandas UDF because parity
+  with difflib is a correctness requirement;
+- Zipf-hot surface forms are fine here precisely because linking is
+  per-distinct-concept; the skew-sensitive join is mentions→decisions
+  fan-back, which AQE skew-join handles (see plans/pipeline.py).
+
+Match-method ranks (tie-break: equal scores keep the lower rank,
+mirroring the reference's first-offer-wins dict insertion order
+src/ontology_extension_manager.py:489-499):
+  0 embedding, 1 lexical_exact_normalized, 2 lexical_similar_normalized,
+  3 technical_specs, 4 category_variant.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions import columns as C
+from ..functions import semantics as S
+
+EMBED_DIM = S.EMBED_DIM
+
+# Doubles, not floats: the decision cascade compares scores against
+# thresholds and argmaxes near-ties; float32 rounding can flip the
+# argmax vs the float64 oracle.
+_embed_schema = T.ArrayType(T.DoubleType())
+
+
+@F.pandas_udf(_embed_schema)
+def embed_text_udf(texts: pd.Series) -> pd.Series:
+    return texts.map(lambda t: S.hashed_embedding(t or ""))
+
+
+@F.pandas_udf(T.DoubleType())
+def seq_ratio_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+    return pd.Series(
+        [S.seq_ratio(x or "", y or "") for x, y in zip(a, b)], dtype="float64"
+    )
+
+
+def concept_text_col(name, category=None, description=None, frequency=None, impedance=None):
+    """Catalyst version of semantics.concept_text (E14)."""
+    parts = [name]
+    if category is not None:
+        parts.append(F.when(category.isNotNull() & (category != ""), F.concat(F.lit("Category: "), category)))
+    if description is not None:
+        parts.append(F.when(description.isNotNull() & (description != ""), F.concat(F.lit("Description: "), F.substring(description, 1, 200))))
+    if frequency is not None:
+        parts.append(F.when(frequency.isNotNull() & (frequency != ""), F.concat(F.lit("Frequency: "), frequency)))
+    if impedance is not None:
+        parts.append(F.when(impedance.isNotNull() & (impedance != ""), F.concat(F.lit("Impedance: "), impedance)))
+    return F.concat_ws(". ", *parts)
+
+
+def block_keys_col(norm_col):
+    """Catalyst twin of semantics.block_keys: tokens + 4-char prefix."""
+    return F.array_distinct(
+        F.concat(
+            F.split(norm_col, " "),
+            F.array(F.substring(norm_col, 1, 4)),
+        )
+    )
+
+
+CATALOG_SCHEMA = (
+    "name string, norm_name string, category string, description string, "
+    "frequency string, impedance string, voltage string, connector string, "
+    "mounting string, source string"
+)
+
+
+def prepare_catalog(spark: SparkSession, rows: list[dict]) -> DataFrame:
+    """Catalog DF with norm name, embedding and block keys precomputed.
+    Small → cached + broadcast at every use site."""
+    cat = spark.createDataFrame(
+        [{k: r.get(k) for k in (
+            "name", "norm_name", "category", "description", "frequency",
+            "impedance", "voltage", "connector", "mounting", "source")} for r in rows],
+        schema=CATALOG_SCHEMA,
+    )
+    cat = cat.withColumn("norm_name", C.normalize_name(F.col("name")))
+    cat = cat.withColumn(
+        "embedding",
+        embed_text_udf(
+            concept_text_col(
+                F.col("name"),
+                F.col("category"),
+                F.col("description"),
+                F.col("frequency"),
+                F.col("impedance"),
+            )
+        ),
+    )
+    cat = cat.withColumn("block_keys", block_keys_col(F.col("norm_name")))
+    return cat
+
+
+def prepare_concepts(concepts: DataFrame) -> DataFrame:
+    """Distinct concepts with inferred category, embedding, block keys.
+    Input column: ``concept`` (normalized surface)."""
+    out = concepts.withColumn("category", C.infer_category(F.col("concept")))
+    out = out.withColumn(
+        "embedding", embed_text_udf(concept_text_col(F.col("concept"), F.col("category")))
+    )
+    out = out.withColumn("block_keys", block_keys_col(F.col("concept")))
+    return out
+
+
+def embedding_matches(concepts: DataFrame, catalog: DataFrame, low: float) -> DataFrame:
+    """M2: broadcast cross join + JVM-side cosine, filter >= low."""
+    cat = F.broadcast(
+        catalog.select(
+            F.col("name").alias("candidate"),
+            F.col("category").alias("cand_category"),
+            F.col("embedding").alias("cand_embedding"),
+        )
+    )
+    joined = concepts.select("concept", "embedding").crossJoin(cat)
+    sim = C.cosine(F.col("embedding"), F.col("cand_embedding"))
+    return (
+        joined.withColumn("score", sim)
+        .where(F.col("score") >= low)
+        .select("concept", "candidate", "score", F.lit(0).alias("method_rank"),
+                F.lit("embedding").alias("match_type"))
+    )
+
+
+def lexical_exact_matches(concepts: DataFrame, catalog: DataFrame) -> DataFrame:
+    """M3-exact: equi-join concept == catalog norm_name → score 1.0."""
+    cat = F.broadcast(
+        catalog.select(F.col("name").alias("candidate"), F.col("norm_name").alias("cand_norm"))
+    )
+    return (
+        concepts.select("concept")
+        .join(cat, F.col("concept") == F.col("cand_norm"))
+        .select("concept", "candidate", F.lit(1.0).alias("score"),
+                F.lit(1).alias("method_rank"),
+                F.lit("lexical_exact_normalized").alias("match_type"))
+    )
+
+
+def _blocked_pairs(concepts: DataFrame, catalog: DataFrame) -> DataFrame:
+    """Explode block keys on both sides, broadcast-join on key, distinct
+    pair. Returns (concept, category, candidate, cand_norm, cand_category)."""
+    left = concepts.select(
+        "concept", "category", F.explode("block_keys").alias("bk")
+    )
+    right = F.broadcast(
+        catalog.select(
+            F.col("name").alias("candidate"),
+            F.col("norm_name").alias("cand_norm"),
+            F.col("category").alias("cand_category"),
+            F.explode("block_keys").alias("bk"),
+        )
+    )
+    return left.join(right, "bk").drop("bk").distinct()
+
+
+def lexical_fuzzy_matches(blocked: DataFrame) -> DataFrame:
+    """M3-fuzzy: difflib ratio >= 0.8 on normalized names (blocked pairs,
+    excluding exact equals which M3-exact already owns)."""
+    pairs = blocked.where(F.col("concept") != F.col("cand_norm"))
+    scored = pairs.withColumn("score", seq_ratio_udf(F.col("concept"), F.col("cand_norm")))
+    return scored.where(F.col("score") >= 0.8).select(
+        "concept", "candidate", "score", F.lit(2).alias("method_rank"),
+        F.lit("lexical_similar_normalized").alias("match_type"),
+    )
+
+
+def category_matches(blocked: DataFrame) -> DataFrame:
+    """M5: same category and ratio(concept, lower(candidate)) >= 0.4."""
+    pairs = blocked.where(
+        F.lower(F.coalesce(F.col("category"), F.lit(""))) ==
+        F.lower(F.coalesce(F.col("cand_category"), F.lit("")))
+    )
+    scored = pairs.withColumn(
+        "score", seq_ratio_udf(F.col("concept"), F.lower(F.col("candidate")))
+    )
+    return scored.where(F.col("score") >= 0.4).select(
+        "concept", "candidate", "score", F.lit(4).alias("method_rank"),
+        F.lit("category_variant").alias("match_type"),
+    )
+
+
+def find_matches(concepts: DataFrame, catalog: DataFrame,
+                 thresholds: dict | None = None,
+                 prepped: bool = False) -> DataFrame:
+    """M1: union all methods → M6 best-per-(concept,candidate) → top-10
+    per concept. Returns ranked matches with rank column.
+
+    ``prepped=True`` means ``concepts`` already went through
+    ``prepare_concepts`` (category/embedding/block_keys present).
+    """
+    th = thresholds or S.DEFAULT_THRESHOLDS
+    prepped_df = concepts if prepped else prepare_concepts(concepts)
+    blocked = _blocked_pairs(prepped_df, catalog)
+
+    all_matches = (
+        embedding_matches(prepped_df, catalog, th["low_similarity"])
+        .unionByName(lexical_exact_matches(prepped_df, catalog))
+        .unionByName(lexical_fuzzy_matches(blocked))
+        .unionByName(category_matches(blocked))
+    )
+
+    # M6: best score per (concept, candidate); ties → lower method_rank.
+    per_cand = Window.partitionBy("concept", "candidate").orderBy(
+        F.col("score").desc(), F.col("method_rank").asc()
+    )
+    deduped = (
+        all_matches.withColumn("rn", F.row_number().over(per_cand))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+    # Top-10 per concept; candidate name breaks score ties deterministically.
+    per_concept = Window.partitionBy("concept").orderBy(
+        F.col("score").desc(), F.col("candidate").asc()
+    )
+    return (
+        deduped.withColumn("rank", F.row_number().over(per_concept))
+        .where(F.col("rank") <= 10)
+    )
+
+
+def best_matches(matches: DataFrame, catalog: DataFrame) -> DataFrame:
+    """rank==1 row per concept, joined with candidate category for the
+    decision cascade."""
+    cat = F.broadcast(
+        catalog.select(F.col("name").alias("candidate"), F.col("category").alias("best_category"))
+    )
+    return (
+        matches.where(F.col("rank") == 1)
+        .select("concept", F.col("candidate").alias("best_match"),
+                F.col("score").alias("best_score"), "match_type")
+        .join(cat, F.col("best_match") == F.col("candidate"), "left")
+        .drop("candidate")
+    )

@@ -1,0 +1,160 @@
+"""Pure-Python oracle: reference pipeline semantics end-to-end.
+
+Executes the deterministic rule set of ``functions.semantics`` /
+``functions.extraction_rules`` imperatively over fixture documents —
+the way the reference runs (eager, row-at-a-time) — and emits the
+expected mention/decision/triple sets the Spark plan must reproduce at
+P/R >= 0.95 (exact match expected, since both share the rules).
+
+Flow mirrored (reference file:line):
+  preprocess (data_loader.py:13-47) → extract (idea_extractor.py:63-124,
+  relation_extractor.py:19-95) → validity filter (idea_extractor.py:49-61)
+  → distinct → link M2/M3/M5 (ontology_extension_manager.py:225-366)
+  → dedup M6 (:489-499) → decide M7 (:368-421) → route M11
+  (integrated_schema_pipeline.py:182-216) → triples.
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+from ..functions import extraction_rules as X
+from ..functions import semantics as S
+from ..fixtures import baseline
+
+
+def doc_text(doc: dict) -> str:
+    """Concatenate text spans in offset order (media spans contribute
+    nothing to text but must survive untouched)."""
+    spans = sorted(doc["spans"], key=lambda s: s["offset"])
+    return " ".join(s["text"] for s in spans if s["kind"] == "text" and s["text"])
+
+
+def run(
+    docs: list[dict],
+    catalog: list[dict] | None = None,
+    thresholds: dict | None = None,
+) -> dict:
+    catalog = catalog if catalog is not None else baseline.entity_catalog()
+    th = thresholds or S.DEFAULT_THRESHOLDS
+    surfaces = tuple(sorted({c["name"].lower() for c in catalog}))
+
+    # --- extraction ---
+    mentions_rows: list[dict] = []  # (doc_id, surface, norm_surface, char_offset)
+    triple_rows: list[tuple[str, str, str]] = []
+    for doc in docs:
+        text = S.preprocess_text(doc_text(doc))
+        mentions, relations = X.extract_document(text, surfaces)
+        for m in mentions:
+            if S.is_valid_concept(m.surface):
+                mentions_rows.append(
+                    {
+                        "doc_id": doc["doc_id"],
+                        "surface": m.surface,
+                        "norm_surface": S.normalize_name(m.surface),
+                        "char_offset": m.char_offset,
+                    }
+                )
+        for (a, p, b) in relations:
+            if S.is_valid_concept(a) and S.is_valid_concept(b):
+                triple_rows.append((S.normalize_name(a), p, S.normalize_name(b)))
+
+    distinct_concepts = sorted({m["norm_surface"] for m in mentions_rows})
+
+    # --- linking ---
+    cat_by_name = {c["name"]: c for c in catalog}
+    cat_norm = {c["name"]: S.normalize_name(c["name"]) for c in catalog}
+    cat_emb = {
+        c["name"]: S.hashed_embedding(S.concept_text(c)) for c in catalog
+    }
+    cat_blocks: dict[str, set[str]] = defaultdict(set)
+    for c in catalog:
+        for k in S.block_keys(cat_norm[c["name"]]):
+            cat_blocks[k].add(c["name"])
+
+    decisions: dict[str, dict] = {}
+    for concept in distinct_concepts:
+        category = S.infer_category(concept)
+        # M2: embedding cosine vs every catalog entry (catalog is small →
+        # broadcast cross in Spark)
+        new_emb = S.hashed_embedding(
+            S.concept_text({"name": concept, "category": category})
+        )
+        best: dict[str, tuple[float, str]] = {}  # cand -> (score, type)
+
+        def _offer(cand: str, score: float, mtype: str):
+            if cand not in best or score > best[cand][0]:
+                best[cand] = (score, mtype)
+
+        for cname, cemb in cat_emb.items():
+            sim = S.cosine(new_emb, cemb)
+            if sim >= th["low_similarity"]:
+                _offer(cname, sim, "embedding")
+
+        # M3: lexical exact on normalized names, else blocked fuzzy >= 0.8
+        blocked = set()
+        for k in S.block_keys(concept):
+            blocked |= cat_blocks.get(k, set())
+        for cname in cat_by_name:
+            if concept == cat_norm[cname]:
+                _offer(cname, 1.0, "lexical_exact_normalized")
+        for cname in blocked:
+            if concept == cat_norm[cname]:
+                continue
+            r = S.seq_ratio(concept, cat_norm[cname])
+            if r >= 0.8:
+                _offer(cname, r, "lexical_similar_normalized")
+
+        # M5: category variant (same category, ratio >= 0.4) over blocked pairs
+        for cname in blocked:
+            c = cat_by_name[cname]
+            if (c.get("category") or "").lower() == category.lower():
+                r = S.seq_ratio(concept, cname.lower())
+                if r >= 0.4:
+                    _offer(cname, r, "category_variant")
+
+        # M6 dedup is inherent (best-per-candidate); rank and take top-10
+        ranked = sorted(best.items(), key=lambda kv: (-kv[1][0], kv[0]))[:10]
+        if ranked:
+            best_name, (best_score, best_type) = ranked[0]
+            best_cat = cat_by_name[best_name].get("category")
+        else:
+            best_name, best_score, best_type, best_cat = None, None, None, None
+
+        decision, target, confidence = S.decide(
+            best_score, concept, category, best_name, best_cat, th
+        )
+        decisions[concept] = {
+            "concept": concept,
+            "decision": decision,
+            "target": target,
+            "confidence": confidence,
+            "best_score": best_score,
+            "best_match": best_name,
+            "parent": S.route_parent(decision, target, best_name),
+        }
+
+    # --- routed taxonomy triples + extracted relation triples ---
+    triples: set[tuple[str, str, str]] = set()
+    for d in decisions.values():
+        if d["parent"]:
+            triples.add((d["concept"], "subclass_of", S.normalize_name(d["parent"])))
+    for t in triple_rows:
+        triples.add(t)
+
+    return {
+        "mentions": mentions_rows,
+        "concepts": distinct_concepts,
+        "decisions": decisions,
+        "triples": triples,
+    }
+
+
+def precision_recall(
+    got: set[tuple[str, str, str]], expected: set[tuple[str, str, str]]
+) -> tuple[float, float, float]:
+    tp = len(got & expected)
+    p = tp / len(got) if got else 0.0
+    r = tp / len(expected) if expected else 0.0
+    f1 = 2 * p * r / (p + r) if (p + r) else 0.0
+    return p, r, f1

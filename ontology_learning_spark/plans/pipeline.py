@@ -1,0 +1,93 @@
+"""The flagship job (SURVEY.md §3.1): documents → triples + graph tables.
+
+One lazily-built DataFrame DAG:
+
+    read spans table
+      → concat text spans + preprocess        (narrow, codegen)
+      → mapInPandas extraction                (narrow, Arrow)
+      → explode mentions / triples            (narrow)
+      → distinct concepts                     (shuffle #1, vocab-bounded)
+      → broadcast/blocked linking + top-k     (shuffle #2, vocab-bounded)
+      → when-cascade decisions                (narrow)
+      → routed taxonomy triples ∪ extracted   (narrow)
+
+The corpus-sized data never shuffles: the only exchanges are over the
+distinct-concept vocabulary. At 10^12 docs the extraction stage is
+embarrassingly parallel over doc_id partitions and the linking stage is
+a constant-size tail.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..fixtures import baseline
+from ..functions import columns as C
+from ..functions import semantics as S
+from ..operators import decisions as D
+from ..operators import extraction as E
+from ..operators import linking as L
+
+
+@dataclass
+class PipelineResult:
+    mentions: DataFrame
+    concepts: DataFrame
+    matches: DataFrame
+    decisions: DataFrame
+    tasks: DataFrame
+    mappings: DataFrame
+    triples: DataFrame
+    extras: dict = field(default_factory=dict)
+
+
+def run_pipeline(
+    spark: SparkSession,
+    docs: DataFrame,
+    catalog_rows: list[dict] | None = None,
+    thresholds: dict | None = None,
+) -> PipelineResult:
+    catalog_rows = catalog_rows if catalog_rows is not None else baseline.entity_catalog()
+    th = thresholds or S.DEFAULT_THRESHOLDS
+    surfaces = tuple(sorted({r["name"].lower() for r in catalog_rows}))
+
+    catalog = L.prepare_catalog(spark, catalog_rows).cache()
+
+    mentions, doc_triples = E.extract_pipeline(docs, surfaces)
+    mentions = mentions.cache()  # reused: linking + metrics + fan-back
+
+    concepts = E.distinct_concepts(mentions)
+    prepped = L.prepare_concepts(concepts).cache()
+
+    matches = L.find_matches(prepped, catalog, th, prepped=True)
+    best = L.best_matches(matches, catalog)
+    best_full = prepped.select("concept", "category").join(best, "concept", "left")
+
+    decided = D.decide(best_full, th).cache()
+    tasks = D.route_tasks(decided)
+    mappings = D.mapping_objects(decided)
+
+    # Taxonomy triples from routed tasks + text-extracted triples (E4/E5).
+    routed_triples = tasks.select(
+        F.col("name").alias("subj"),
+        F.lit("subclass_of").alias("pred"),
+        C.normalize_name(F.col("parent_class")).alias("obj"),
+    )
+
+    extracted_triples = doc_triples.select("subj", "pred", "obj")
+    triples = routed_triples.unionByName(extracted_triples).dropDuplicates(
+        ["subj", "pred", "obj"]
+    )
+
+    return PipelineResult(
+        mentions=mentions,
+        concepts=concepts,
+        matches=matches,
+        decisions=decided,
+        tasks=tasks,
+        mappings=mappings,
+        triples=triples,
+    )
