@@ -50,12 +50,23 @@ def main() -> None:
     result = run_pipeline(spark, docs)
 
     out = args.output.rstrip("/")
-    result.triples.write.mode("overwrite").parquet(f"{out}/triples")
-    result.tasks.write.mode("overwrite").parquet(f"{out}/tasks")
-    result.mappings.write.mode("overwrite").parquet(f"{out}/mappings")
-    result.decisions.write.mode("overwrite").parquet(f"{out}/decisions")
+    # Stage-table store: every write is manifest-committed → a re-run
+    # with the same --run-id resumes past completed stages (S4).
+    from ontology_learning_spark.fixtures.baseline import ONTOLOGY_HIERARCHY
+    from ontology_learning_spark.sources.tables import StageStore, baseline_graph, merge_graph
 
-    n_triples = spark.read.parquet(f"{out}/triples").count()
+    store = StageStore(spark, out, args.run_id)
+    triples_df = store.materialize("triples", lambda: result.triples)
+    tasks_df = store.materialize("tasks", lambda: result.tasks)
+    store.materialize("mappings", lambda: result.mappings)
+    store.materialize("decisions", lambda: result.decisions)
+
+    base_n, base_e = baseline_graph(spark, ONTOLOGY_HIERARCHY)
+    nodes_df, edges_df = merge_graph(base_n, base_e, tasks_df, triples_df, args.run_id)
+    store.materialize("nodes", lambda: nodes_df)
+    store.materialize("edges", lambda: edges_df)
+
+    n_triples = triples_df.count()
     n_docs = docs.count()
     wall = time.time() - t0
     print(json.dumps({

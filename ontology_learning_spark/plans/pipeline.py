@@ -27,9 +27,11 @@ from pyspark.sql import functions as F
 from ..fixtures import baseline
 from ..functions import columns as C
 from ..functions import semantics as S
+from ..operators import canonicalize as CC
 from ..operators import decisions as D
 from ..operators import extraction as E
 from ..operators import linking as L
+from ..sources import tables as TBL
 
 
 @dataclass
@@ -81,6 +83,21 @@ def run_pipeline(
     triples = routed_triples.unionByName(extracted_triples).dropDuplicates(
         ["subj", "pred", "obj"]
     )
+
+    # M13: canonicalize through MAP_* alias edges (connected components
+    # resolves chains; the reference's single-hop sameAs is the
+    # degenerate case).
+    alias_edges = mappings.select(
+        F.col("name").alias("surface"), F.col("canonical").alias("alias_of")
+    ).where(F.col("surface") != F.col("alias_of"))
+    if not alias_edges.isEmpty():
+        canon_map = CC.canonical_mapping(
+            alias_edges.select(
+                "surface",
+                C.normalize_name(F.col("alias_of")).alias("alias_of"),
+            )
+        )
+        triples = CC.apply_canonicalization(triples, canon_map)
 
     return PipelineResult(
         mentions=mentions,
