@@ -1,38 +1,777 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)  — flagship KG pipeline over the sf0.001 documents table
+                re-shaped to the interleaved-span model.
+queries()     — one named DataFrame-producing callable per implemented
+                operator family (SURVEY.md §2).
+oracle_sql()  — DuckDB-equivalent SQL for every SQL-expressible query;
+                non-SQL-expressible ops (LSH, SimHash, CC at scale,
+                pipeline end-to-end) are registered rows-only.
+
+Column-name/alias discipline: every computed column is aliased
+identically in the Spark plan and the SQL text; floats are rounded
+in-query on both sides so value hashes are stable.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# Shared literals (embedded identically in Spark plans and oracle SQL)
+# ---------------------------------------------------------------------------
+
+# Extraction gazetteer over the driver documents vocabulary (single
+# words, none a substring of another, none in the stopword list).
+VOCAB = ["spark", "window", "merge", "filter", "stream", "vector", "batch", "query", "scan", "join"]
+
+# Link catalog: a subset of the gazetteer "already in the ontology".
+CATALOG_WORDS = {
+    "spark": "Engines",
+    "window": "Operators",
+    "merge": "Operators",
+    "filter": "Operators",
+}
+
+HIERARCHY = [  # (child, parent) — mirrors fixtures.baseline.ONTOLOGY_HIERARCHY
+    ("Product", "Thing"), ("Organization", "Thing"),
+    ("ElectronicComponent", "Product"),
+    ("PassiveComponent", "ElectronicComponent"), ("ActiveComponent", "ElectronicComponent"),
+    ("RFComponent", "ElectronicComponent"), ("Interconnect", "ElectronicComponent"),
+    ("Electromechanical", "ElectronicComponent"), ("Sensor", "ElectronicComponent"),
+    ("Resistor", "PassiveComponent"), ("Capacitor", "PassiveComponent"),
+    ("Inductor", "PassiveComponent"),
+    ("Diode", "ActiveComponent"), ("Transistor", "ActiveComponent"),
+    ("IntegratedCircuit", "ActiveComponent"),
+    ("Antenna", "RFComponent"), ("FPCAntenna", "Antenna"), ("ChipAntenna", "Antenna"),
+    ("Connector", "Interconnect"), ("Cable", "Interconnect"),
+]
+
+ALIASES = [  # (surface, alias_of) incl. a chain and a hub
+    ("sparks", "spark"), ("apache spark", "spark"),
+    ("windowing", "window"), ("window fn", "windowing"),
+    ("filters", "filter"), ("filtering", "filters"),
+    ("merges", "merge"), ("merge op", "merge"), ("merge-op", "merge op"),
+]
+
+
+def _vocab_surfaces() -> list[str]:
+    """Gazetteer + plural variants — exactly what the matcher scans."""
+    from ontology_learning_spark.functions.extraction_rules import surface_variants
+
+    out: set[str] = set()
+    for w in VOCAB:
+        out.update(surface_variants(w))
+    return sorted(out)
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _spans_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ontology_learning_spark.sources.adapters import to_spans
+
+    return to_spans(_docs(spark, sf_dir))
+
+
+def _edges_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(
+        [(c, "SUBCLASS_OF", p) for c, p in HIERARCHY], "src string, rel_type string, dst string"
+    )
+
+
+def _hierarchy_values() -> str:
+    return ", ".join(f"('{c}', '{p}')" for c, p in HIERARCHY)
+
+
+def _vocab_values() -> str:
+    return ", ".join(f"('{s}')" for s in _vocab_surfaces())
+
+
+def _catalog_values() -> str:
+    return ", ".join(f"('{w}', '{c}')" for w, c in sorted(CATALOG_WORDS.items()))
+
+
+def _alias_values() -> str:
+    return ", ".join(f"('{s}', '{t}')" for s, t in ALIASES)
+
+
+# ---------------------------------------------------------------------------
+# entry — flagship
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full KG-construction pipeline (extract → link → decide)
+    over the sf0.001 documents re-shaped to interleaved spans."""
+    from ontology_learning_spark.plans.pipeline import run_pipeline
+
+    docs = _spans_docs(spark, "/root/testdata/sf0.001")
+    catalog_rows = [
+        {
+            "name": w, "norm_name": w, "category": cat,
+            "description": f"workload concept {w}",
+            "frequency": None, "impedance": None, "voltage": None,
+            "connector": None, "mounting": None, "source": "Baseline",
+        }
+        for w, cat in sorted(CATALOG_WORDS.items())
+    ]
+    result = run_pipeline(
+        spark, docs, catalog_rows=catalog_rows, extra_surfaces=tuple(VOCAB)
+    )
+    return result.decisions.orderBy("concept")
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+
+def _q_kg_mention_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ontology_learning_spark.operators import extraction as E
+
+    surfaces = tuple(_vocab_surfaces())
+    docs = _spans_docs(spark, sf_dir)
+    prepped = E.preprocess(E.concat_text_spans(docs))
+    extracted = E.extract(prepped, surfaces)
+    m = extracted.select(F.explode("mentions").alias("m")).select(F.col("m.surface").alias("surface"))
+    return m.groupBy("surface").agg(F.count("*").alias("n")).orderBy("surface")
+
+
+def _q_kg_doc_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ontology_learning_spark.operators import extraction as E
+
+    surfaces = tuple(_vocab_surfaces())
+    docs = _spans_docs(spark, sf_dir)
+    prepped = E.preprocess(E.concat_text_spans(docs))
+    extracted = E.extract(prepped, surfaces)
+    m = extracted.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), F.explode("mentions").alias("m")
+    ).select("doc_id", F.col("m.surface").alias("surface"))
+    return m.groupBy("doc_id", "surface").agg(F.count("*").alias("n"))
+
+
+def _q_kg_valid_concepts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ontology_learning_spark.functions import columns as C
+
+    words = (
+        _docs(spark, sf_dir)
+        .select(F.explode(F.split(F.col("text"), r"\s+")).alias("w"))
+        .distinct()
+    )
+    return words.where(C.is_valid_concept(F.col("w"))).select(F.col("w").alias("concept")).orderBy("concept")
+
+
+def _q_kg_link_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ontology_learning_spark.functions import columns as C
+    from ontology_learning_spark.operators import linking as L
+
+    words = (
+        _docs(spark, sf_dir)
+        .select(F.explode(F.split(F.col("text"), r"\s+")).alias("w"))
+        .distinct()
+        .where(C.is_valid_concept(F.col("w")))
+        .select(C.normalize_name(F.col("w")).alias("concept"))
+        .distinct()
+    )
+    cat = spark.createDataFrame(
+        [(w, c) for w, c in sorted(CATALOG_WORDS.items())], "name string, category string"
+    ).withColumn("norm_name", C.normalize_name(F.col("name")))
+    exact = L.lexical_exact_matches(words, cat.withColumn("block_keys", F.array()).withColumn("embedding", F.array()))
+    return exact.select("concept", "candidate", "score").orderBy("concept")
+
+
+def _q_kg_decisions_lexical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M7 cascade with the lexical-exact band only (SQL-expressible)."""
+    from ontology_learning_spark.functions import columns as C
+    from ontology_learning_spark.operators import decisions as D
+
+    words = (
+        _docs(spark, sf_dir)
+        .select(F.explode(F.split(F.col("text"), r"\s+")).alias("w"))
+        .distinct()
+        .where(C.is_valid_concept(F.col("w")))
+        .select(C.normalize_name(F.col("w")).alias("concept"))
+        .distinct()
+    )
+    cat = spark.createDataFrame(
+        [(w, c) for w, c in sorted(CATALOG_WORDS.items())], "name string, category string"
+    )
+    best = (
+        words.withColumn("category", F.lit(None).cast("string"))
+        .join(
+            cat.select(
+                F.col("name").alias("best_match"),
+                F.col("category").alias("best_category"),
+            ),
+            F.col("concept") == F.col("best_match"),
+            "left",
+        )
+        .withColumn("best_score", F.when(F.col("best_match").isNotNull(), F.lit(1.0)))
+    )
+    out = D.decide(best)
+    return out.select("concept", "decision", "target", F.round("confidence", 4).alias("confidence")).orderBy("concept")
+
+
+def _q_graph_descendants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ontology_learning_spark.operators import graph_ops as G
+
+    return G.descendants(_edges_df(spark), "ElectronicComponent").orderBy("name")
+
+
+def _q_graph_ancestors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ontology_learning_spark.operators import graph_ops as G
+
+    return G.ancestors(_edges_df(spark), "FPCAntenna").orderBy("name")
+
+
+def _q_graph_leaves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ontology_learning_spark.operators import graph_ops as G
+
+    e = _edges_df(spark)
+    nodes = (
+        e.select(F.col("src").alias("name")).union(e.select(F.col("dst").alias("name"))).distinct()
+    )
+    return G.leaves(nodes, e).orderBy("name")
+
+
+def _q_graph_siblings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ontology_learning_spark.operators import graph_ops as G
+
+    return G.siblings(_edges_df(spark), "Resistor").orderBy("name")
+
+
+def _q_graph_degree_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ontology_learning_spark.operators import graph_ops as G
+
+    return G.top_k_by_degree(_edges_df(spark), 5)
+
+
+def _q_kg_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ontology_learning_spark.operators.canonicalize import connected_components
+
+    edges = spark.createDataFrame(ALIASES, "src string, dst string")
+    return connected_components(edges).orderBy("node")
+
+
+def _q_rel_q1_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    dec = lambda c: F.col(c).cast("decimal(28,6)")  # order-independent sums
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum(dec("l_quantity")).cast("double"), 2).alias("sum_qty"),
+            F.round(F.sum(dec("l_extendedprice")).cast("double"), 2).alias("sum_base_price"),
+            F.round((F.sum(dec("l_discount")).cast("double") / F.count("*")), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def _q_rel_topk_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    agg = (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy("c_custkey", "c_name")
+        .agg(F.round(F.sum(F.col("o_totalprice").cast("decimal(28,6)")).cast("double"), 2).alias("revenue"),
+             F.count("*").alias("n_orders"))
+    )
+    w = Window.orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+    return (
+        agg.withColumn("rnk", F.row_number().over(w)).where(F.col("rnk") <= 10)
+        .select("c_custkey", "c_name", "revenue", "n_orders", F.col("rnk").alias("rnk"))
+    )
+
+
+def _q_rel_events_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        e.groupBy("event_type")
+        .agg(F.count("*").alias("n"),
+             F.round(F.sum(F.col("value").cast("decimal(28,6)")).cast("double"), 2).alias("total_value"),
+             F.countDistinct("user_id").alias("n_users"))
+        .orderBy("event_type")
+    )
+
+
+def _q_rel_events_cumsum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = spark.read.parquet(f"{sf_dir}/events.parquet").where(F.col("user_id") < 20)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return e.select(
+        "user_id", "event_id",
+        F.sum(F.col("value").cast("decimal(28,6)")).over(w).cast("double").alias("cum_value"),
+    )
+
+
+def _q_rel_events_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = spark.read.parquet(f"{sf_dir}/events.parquet").where(F.col("user_id") < 20)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-9, 0)
+    # decimal-exact rolling sum: order-independent AND free of
+    # round-half-at-tie divergence between engines (avg = sum/n is
+    # derivable; the operator under test is the rolling window).
+    rsum = F.sum(F.col("value").cast("decimal(28,6)")).over(w).cast("double")
+    return e.select(
+        "user_id", "event_id",
+        rsum.alias("rolling_sum"),
+        F.count("*").over(w).alias("window_n"),
+    )
+
+
+def _q_rel_lineitem_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.stddev_samp("l_extendedprice"), 4).alias("std_price"),
+            F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("median_price"),
+            F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def _q_rel_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    p = spark.read.parquet(f"{sf_dir}/part.parquet")
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .groupBy("p_brand")
+        .agg(F.round(
+            F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(28,6)")).cast("double"),
+            2).alias("revenue"))
+        .orderBy("p_brand")
+    )
+
+
+def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ontology_learning_spark.operators.dedup import exact_dedup
+
+    return exact_dedup(_docs(spark, sf_dir)).orderBy("content_hash")
+
+
+def _q_text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ontology_learning_spark.operators.textstats import fingerprint
+
+    return _docs(spark, sf_dir).select("doc_id", fingerprint(F.col("text")).alias("fingerprint"))
+
+
+def _q_text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ontology_learning_spark.operators.textstats import bpe_ish_token_count, token_count
+
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_tokens"),
+        bpe_ish_token_count(F.col("text")).alias("n_subtokens"),
+    )
+
+
+def _q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ontology_learning_spark.operators.textstats import punct_ratio, quality_score, stopword_ratio
+
+    c = F.col("text")
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.round(punct_ratio(c), 6).alias("punct_ratio"),
+        F.round(stopword_ratio(c), 6).alias("stopword_ratio_en"),
+        F.round(quality_score(c), 6).alias("quality"),
+    )
+
+
+def _q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ontology_learning_spark.operators.textstats import lang_id
+
+    return _docs(spark, sf_dir).select("doc_id", lang_id(F.col("text")).alias("lang_pred"))
+
+
+def _q_emb_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ontology_learning_spark.operators.simsearch import brute_force_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qvec = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
+    top = brute_force_topk(emb, qvec, k=10)
+    return top.select("vec_id", F.round("cosine_sim", 4).alias("cosine_sim"))
+
+
+def _q_emb_label_centroid_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ontology_learning_spark.functions import columns as C
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    dim = len(emb.first()["embedding"])
+    cent = emb.groupBy("label").agg(
+        *[F.avg(F.element_at(F.col("embedding"), i + 1)).alias(f"c{i}") for i in range(dim)],
+        F.count("*").alias("n"),
+    )
+    arr = F.array(*[F.col(f"c{i}") for i in range(dim)])
+    return cent.select(
+        "label", "n", F.round(C.l2_norm(arr), 4).alias("centroid_norm")
+    ).orderBy("label")
+
+
+# --- rows-only (non-SQL-expressible) ---------------------------------------
+
+
+def _q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ontology_learning_spark.operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.5).select(
+        "id_a", "id_b", F.round("jaccard", 4).alias("jaccard")
+    )
+
+
+def _q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ontology_learning_spark.operators.dedup import simhash_near_dups
+
+    return simhash_near_dups(_docs(spark, sf_dir), max_hamming=3)
+
+
+def _q_emb_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ontology_learning_spark.operators.simsearch import embedding_near_dups
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return embedding_near_dups(emb, threshold=0.9, n_planes=8).select(
+        "id_a", "id_b", F.round("cosine_sim", 4).alias("cosine_sim")
+    )
+
+
+def _q_emb_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ontology_learning_spark.operators.simsearch import lsh_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qvec = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
+    return lsh_topk(emb, qvec, k=10, n_planes=10).select(
+        "vec_id", F.round("cosine_sim", 4).alias("cosine_sim")
+    )
+
+
+def _q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ontology_learning_spark.operators.multimodal import decode_media, media_refs_from_spans
+
+    media = media_refs_from_spans(_spans_docs(spark, sf_dir))
+    return decode_media(media).select(
+        "doc_id", "media_ref", "width", "height", "n_frames", F.round("mean_luma", 4).alias("mean_luma")
+    )
+
+
+def _q_kg_pipeline_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ontology_learning_spark.plans.pipeline import run_pipeline
+
+    docs = _spans_docs(spark, sf_dir)
+    catalog_rows = [
+        {"name": w, "norm_name": w, "category": cat, "description": f"workload concept {w}",
+         "frequency": None, "impedance": None, "voltage": None, "connector": None,
+         "mounting": None, "source": "Baseline"}
+        for w, cat in sorted(CATALOG_WORDS.items())
+    ]
+    res = run_pipeline(spark, docs, catalog_rows=catalog_rows, extra_surfaces=tuple(VOCAB))
+    return res.decisions.select(
+        "concept", "decision", "target", F.round("confidence", 4).alias("confidence")
+    ).orderBy("concept")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        # KG pipeline operators
+        "kg_mention_counts": _q_kg_mention_counts,
+        "kg_doc_mentions": _q_kg_doc_mentions,
+        "kg_valid_concepts": _q_kg_valid_concepts,
+        "kg_link_exact": _q_kg_link_exact,
+        "kg_decisions_lexical": _q_kg_decisions_lexical,
+        "kg_components": _q_kg_components,
+        "kg_pipeline_decisions": _q_kg_pipeline_triples,
+        # graph query corpus (§2.5)
+        "graph_descendants": _q_graph_descendants,
+        "graph_ancestors": _q_graph_ancestors,
+        "graph_leaves": _q_graph_leaves,
+        "graph_siblings": _q_graph_siblings,
+        "graph_degree_topk": _q_graph_degree_topk,
+        # relational / analytics (§2.4)
+        "rel_q1_pricing": _q_rel_q1_pricing,
+        "rel_topk_customers": _q_rel_topk_customers,
+        "rel_events_histogram": _q_rel_events_histogram,
+        "rel_events_cumsum": _q_rel_events_cumsum,
+        "rel_events_rolling": _q_rel_events_rolling,
+        "rel_lineitem_stats": _q_rel_lineitem_stats,
+        "rel_brand_revenue": _q_rel_brand_revenue,
+        # training-data ops
+        "dedup_exact": _q_dedup_exact,
+        "text_fingerprints": _q_text_fingerprints,
+        "text_token_counts": _q_text_token_counts,
+        "text_quality": _q_text_quality,
+        "text_lang_id": _q_text_lang_id,
+        "emb_topk": _q_emb_topk,
+        "emb_label_centroid_norms": _q_emb_label_centroid_norms,
+        # rows-only (no oracle: LSH/SimHash/pipeline are not ANSI-SQL)
+        "minhash_near_dups": _q_minhash_near_dups,
+        "simhash_near_dups": _q_simhash_near_dups,
+        "emb_near_dups": _q_emb_near_dups,
+        "emb_lsh_topk": _q_emb_lsh_topk,
+        "multimodal_decode": _q_multimodal_decode,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# oracle SQL (DuckDB dialect, tables pre-registered as views)
+# ---------------------------------------------------------------------------
+
+_STOPWORDS_SQL = "'figure','table','application','system','section','part','example','information','note','introduction','overview','description','feature','copyright','inc','page','date','january','february','march','april','may','june','july','august','september','october','november','december','california','texas','germany','japan','china','india','france'"
+
+_EN_STOP = "'the','and','of','to','is','in','that','for','with','a'"
+_DE_STOP = "'der','die','das','und','ist','nicht','mit','ein','zu','den'"
+_FR_STOP = "'le','la','les','et','est','pas','pour','dans','une','des'"
+_ES_STOP = "'el','la','los','las','es','para','con','una','por','del'"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    voc = _vocab_values()
+    cat = _catalog_values()
+    hier = _hierarchy_values()
+    ali = _alias_values()
+    return {
+        "kg_mention_counts": f"""
+            SELECT v.surface AS surface,
+                   CAST(SUM(length(regexp_extract_all(d.text, '\\b' || v.surface || '\\b'))) AS BIGINT) AS n
+            FROM documents d CROSS JOIN (VALUES {voc}) v(surface)
+            GROUP BY 1 HAVING n > 0 ORDER BY surface
+        """,
+        "kg_doc_mentions": f"""
+            SELECT d.doc_id AS doc_id, v.surface AS surface,
+                   CAST(length(regexp_extract_all(d.text, '\\b' || v.surface || '\\b')) AS BIGINT) AS n
+            FROM documents d CROSS JOIN (VALUES {voc}) v(surface)
+            WHERE length(regexp_extract_all(d.text, '\\b' || v.surface || '\\b')) > 0
+        """,
+        "kg_valid_concepts": f"""
+            SELECT w AS concept FROM (
+              SELECT DISTINCT unnest(string_split(text, ' ')) AS w FROM documents
+            )
+            WHERE lower(w) NOT IN ({_STOPWORDS_SQL})
+              AND length(w) >= 3
+              AND regexp_matches(w, '[a-zA-Z]')
+              AND NOT regexp_full_match(w, '[0-9]+')
+              AND w NOT LIKE '%/%' AND w NOT LIKE '%www.%' AND w NOT LIKE '%.com%'
+            ORDER BY concept
+        """,
+        "kg_link_exact": f"""
+            WITH words AS (
+              SELECT DISTINCT unnest(string_split(text, ' ')) AS w FROM documents
+            ), valid AS (
+              SELECT w AS concept FROM words
+              WHERE lower(w) NOT IN ({_STOPWORDS_SQL}) AND length(w) >= 3
+                AND regexp_matches(w, '[a-zA-Z]') AND NOT regexp_full_match(w, '[0-9]+')
+                AND w NOT LIKE '%/%' AND w NOT LIKE '%www.%' AND w NOT LIKE '%.com%'
+            )
+            SELECT v.concept AS concept, c.name AS candidate, CAST(1.0 AS DOUBLE) AS score
+            FROM valid v JOIN (VALUES {cat}) c(name, category) ON v.concept = c.name
+            ORDER BY concept
+        """,
+        "kg_decisions_lexical": f"""
+            WITH words AS (
+              SELECT DISTINCT unnest(string_split(text, ' ')) AS w FROM documents
+            ), valid AS (
+              SELECT w AS concept FROM words
+              WHERE lower(w) NOT IN ({_STOPWORDS_SQL}) AND length(w) >= 3
+                AND regexp_matches(w, '[a-zA-Z]') AND NOT regexp_full_match(w, '[0-9]+')
+                AND w NOT LIKE '%/%' AND w NOT LIKE '%www.%' AND w NOT LIKE '%.com%'
+            )
+            SELECT v.concept AS concept,
+                   CASE WHEN c.name IS NOT NULL THEN 'MAP_EXACT' ELSE 'EXTEND' END AS decision,
+                   c.name AS target,
+                   CAST(CASE WHEN c.name IS NOT NULL THEN 1.0 ELSE 0.9 END AS DOUBLE) AS confidence
+            FROM valid v LEFT JOIN (VALUES {cat}) c(name, category) ON v.concept = c.name
+            ORDER BY concept
+        """,
+        "kg_components": f"""
+            WITH RECURSIVE e(src, dst) AS (
+              SELECT src, dst FROM (VALUES {ali}) t(src, dst)
+            ), und AS (
+              SELECT src, dst FROM e UNION SELECT dst, src FROM e
+            ), nodes AS (
+              SELECT DISTINCT src AS node FROM und
+            ), reach(node, peer) AS (
+              SELECT node, node FROM nodes
+              UNION
+              SELECT r.node, u.dst FROM reach r JOIN und u ON r.peer = u.src
+            )
+            SELECT node AS node, MIN(peer) AS component FROM reach GROUP BY node ORDER BY node
+        """,
+        "graph_descendants": f"""
+            WITH RECURSIVE h(child, parent) AS (SELECT * FROM (VALUES {hier}) t(child, parent)),
+            d(name, depth) AS (
+              SELECT child, 1 FROM h WHERE parent = 'ElectronicComponent'
+              UNION ALL
+              SELECT h.child, d.depth + 1 FROM h JOIN d ON h.parent = d.name
+            )
+            SELECT name AS name, CAST(MIN(depth) AS INT) AS depth FROM d GROUP BY name ORDER BY name
+        """,
+        "graph_ancestors": f"""
+            WITH RECURSIVE h(child, parent) AS (SELECT * FROM (VALUES {hier}) t(child, parent)),
+            a(name, depth) AS (
+              SELECT parent, 1 FROM h WHERE child = 'FPCAntenna'
+              UNION ALL
+              SELECT h.parent, a.depth + 1 FROM h JOIN a ON h.child = a.name
+            )
+            SELECT name AS name, CAST(MIN(depth) AS INT) AS depth FROM a GROUP BY name ORDER BY name
+        """,
+        "graph_leaves": f"""
+            WITH h(child, parent) AS (SELECT * FROM (VALUES {hier}) t(child, parent)),
+            nodes AS (SELECT child AS name FROM h UNION SELECT parent FROM h)
+            SELECT name AS name FROM nodes
+            WHERE name NOT IN (SELECT parent FROM h)
+            ORDER BY name
+        """,
+        "graph_siblings": f"""
+            WITH h(child, parent) AS (SELECT * FROM (VALUES {hier}) t(child, parent))
+            SELECT DISTINCT h2.child AS name, h2.parent AS parent
+            FROM h h1 JOIN h h2 ON h1.parent = h2.parent
+            WHERE h1.child = 'Resistor' AND h2.child <> 'Resistor'
+            ORDER BY name
+        """,
+        "graph_degree_topk": f"""
+            WITH h(child, parent) AS (SELECT * FROM (VALUES {hier}) t(child, parent)),
+            ends AS (SELECT child AS name FROM h UNION ALL SELECT parent FROM h),
+            deg AS (SELECT name, COUNT(*) AS degree FROM ends GROUP BY name)
+            SELECT name AS name, CAST(degree AS BIGINT) AS degree FROM deg
+            ORDER BY degree DESC, name ASC LIMIT 5
+        """,
+        "rel_q1_pricing": """
+            SELECT l_returnflag, l_linestatus,
+                   ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE), 2) AS sum_qty,
+                   ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE), 2) AS sum_base_price,
+                   ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*), 6) AS avg_disc,
+                   COUNT(*) AS count_order
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus
+        """,
+        "rel_topk_customers": """
+            WITH agg AS (
+              SELECT c_custkey, c_name,
+                     ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE), 2) AS revenue,
+                     COUNT(*) AS n_orders
+              FROM orders JOIN customer ON o_custkey = c_custkey
+              GROUP BY c_custkey, c_name
+            )
+            SELECT c_custkey, c_name, revenue, n_orders,
+                   CAST(ROW_NUMBER() OVER (ORDER BY revenue DESC, c_custkey ASC) AS INT) AS rnk
+            FROM agg ORDER BY rnk LIMIT 10
+        """,
+        "rel_events_histogram": """
+            SELECT event_type, COUNT(*) AS n,
+                   ROUND(CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE), 2) AS total_value,
+                   COUNT(DISTINCT user_id) AS n_users
+            FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "rel_events_cumsum": """
+            SELECT user_id, event_id,
+                   CAST(SUM(CAST(value AS DECIMAL(28,6))) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS cum_value
+            FROM events WHERE user_id < 20
+        """,
+        "rel_events_rolling": """
+            SELECT user_id, event_id,
+                   CAST(SUM(CAST(value AS DECIMAL(28,6))) OVER w AS DOUBLE) AS rolling_sum,
+                   COUNT(*) OVER w AS window_n
+            FROM events WHERE user_id < 20
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+        """,
+        "rel_lineitem_stats": """
+            SELECT l_returnflag,
+                   ROUND(stddev_samp(l_extendedprice), 4) AS std_price,
+                   ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS median_price,
+                   ROUND(MAX(l_extendedprice), 2) AS max_price
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        "rel_brand_revenue": """
+            SELECT p_brand,
+                   ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE), 2) AS revenue
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            GROUP BY p_brand ORDER BY p_brand
+        """,
+        "dedup_exact": """
+            SELECT md5(COALESCE(text, '')) AS content_hash,
+                   MIN(doc_id) AS doc_id, COUNT(*) AS dup_count
+            FROM documents GROUP BY 1 ORDER BY content_hash
+        """,
+        "text_fingerprints": """
+            SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
+            FROM documents
+        """,
+        "text_token_counts": """
+            SELECT doc_id,
+                   CASE WHEN length(trim(text)) = 0 THEN 0
+                        ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens,
+                   CAST(list_sum(list_transform(string_split_regex(lower(trim(text)), '\\s+'),
+                        w -> CAST(ceil(length(w) / 4.0) AS INT))) AS INT) AS n_subtokens
+            FROM documents
+        """,
+        "text_quality": f"""
+            WITH t AS (
+              SELECT doc_id, text,
+                     string_split_regex(lower(trim(text)), '\\s+') AS toks,
+                     length(regexp_replace(text, '[^!-/:-@\\[-`{{-~]', '', 'g')) AS n_punct
+              FROM documents
+            )
+            SELECT doc_id,
+                   ROUND(CASE WHEN length(text) > 0 THEN n_punct / CAST(length(text) AS DOUBLE) ELSE 0.0 END, 6) AS punct_ratio,
+                   ROUND(CASE WHEN len(toks) > 0
+                         THEN len(list_filter(toks, w -> w IN ({_EN_STOP}))) / CAST(len(toks) AS DOUBLE)
+                         ELSE 0.0 END, 6) AS stopword_ratio_en,
+                   ROUND((
+                     (CASE WHEN length(text) BETWEEN 50 AND 10000 THEN 1.0 WHEN length(text) > 0 THEN 0.5 ELSE 0.0 END)
+                     + (CASE WHEN (CASE WHEN length(text) > 0 THEN n_punct / CAST(length(text) AS DOUBLE) ELSE 0.0 END) <= 0.2 THEN 1.0 ELSE 0.5 END)
+                     + (CASE WHEN (CASE WHEN len(toks) > 0 THEN len(list_filter(toks, w -> w IN ({_EN_STOP}))) / CAST(len(toks) AS DOUBLE) ELSE 0.0 END) >= 0.05 THEN 1.0 ELSE 0.5 END)
+                   ) / 3.0, 6) AS quality
+            FROM t
+        """,
+        "text_lang_id": f"""
+            WITH t AS (
+              SELECT doc_id, text, string_split_regex(lower(trim(text)), '\\s+') AS toks,
+                     length(regexp_replace(text, '[^一-鿿]', '', 'g')) AS cjk
+              FROM documents
+            ), v AS (
+              SELECT doc_id, cjk,
+                     len(list_filter(toks, w -> w IN ({_EN_STOP}))) AS v_en,
+                     len(list_filter(toks, w -> w IN ({_DE_STOP}))) AS v_de,
+                     len(list_filter(toks, w -> w IN ({_FR_STOP}))) AS v_fr,
+                     len(list_filter(toks, w -> w IN ({_ES_STOP}))) AS v_es
+              FROM t
+            )
+            SELECT doc_id,
+                   CASE WHEN cjk > 0 THEN 'zh'
+                        WHEN greatest(v_en, v_de, v_fr, v_es) = 0 THEN 'unknown'
+                        WHEN v_en = greatest(v_en, v_de, v_fr, v_es) THEN 'en'
+                        WHEN v_de = greatest(v_en, v_de, v_fr, v_es) THEN 'de'
+                        WHEN v_fr = greatest(v_en, v_de, v_fr, v_es) THEN 'fr'
+                        ELSE 'es' END AS lang_pred
+            FROM v
+        """,
+        "emb_topk": """
+            SELECT vec_id,
+                   ROUND(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                         (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 4) AS cosine_sim
+            FROM embeddings
+            ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                     (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)) DESC,
+                     vec_id ASC
+            LIMIT 10
+        """,
+        "emb_label_centroid_norms": """
+            WITH u AS (
+              SELECT label, t.i AS i, CAST(embedding[t.i] AS DOUBLE) AS x
+              FROM embeddings CROSS JOIN (SELECT unnest(range(1, 65)) AS i) t
+            ), c AS (
+              SELECT label, i, AVG(x) AS m FROM u GROUP BY label, i
+            ), n AS (
+              SELECT label, COUNT(*) AS n FROM embeddings GROUP BY label
+            )
+            SELECT c.label AS label, n.n AS n, ROUND(sqrt(SUM(m * m)), 4) AS centroid_norm
+            FROM c JOIN n ON c.label = n.label GROUP BY c.label, n.n ORDER BY label
+        """,
+    }

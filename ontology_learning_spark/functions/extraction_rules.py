@@ -108,17 +108,21 @@ def get_matcher(surfaces: tuple[str, ...]) -> DictionaryMatcher:
 # preprocessed sentence and both captures must be known mentions.
 # ---------------------------------------------------------------------------
 
-_RELATION_PATTERNS: list[tuple[re.Pattern[str], str, bool]] = [
-    # (regex with groups A,B, predicate, swap) — swap=True → (B, pred, A)
-    (re.compile(r"(?P<a>{M}) is (?:a|an) (?:type of )?(?P<b>{M})"), "subclass_of", False),
-    (re.compile(r"(?P<a>{M}) (?:is )?manufactured by (?P<b>{M})"), "manufacturer", False),
-    (re.compile(r"(?P<b>{M}) manufactures (?:the )?(?P<a>{M})"), "manufacturer", False),
-    (re.compile(r"(?P<a>{M}) (?:includes|contains|consists of) (?:a |an |the )?(?P<b>{M})"), "hasPart", False),
-    (re.compile(r"(?P<a>{M}) conforms to (?:the )?(?P<b>{M})"), "conformsTo", False),
-    (re.compile(r"(?P<a>{M}) (?:connects|is connected) to (?:a |an |the )?(?P<b>{M})"), "connectedTo", False),
-    (re.compile(r"(?P<a>{M}) operates in (?:the )?(?P<b>{M})"), "operatesIn", False),
-    (re.compile(r"(?P<a>{M}) has (?:a |an )?(?P<b>{M}) feature"), "hasFeature", False),
+# (pattern template, predicate, swap, cheap-substring prefilter):
+# the prefilter gates the expensive big-alternation finditer — a
+# sentence without the verb literal can't match the pattern.
+_RELATION_PATTERNS: list[tuple[re.Pattern[str], str, bool, str]] = [
+    (re.compile(r"(?P<a>{M}) is (?:a|an) (?:type of )?(?P<b>{M})"), "subclass_of", False, " is a"),
+    (re.compile(r"(?P<a>{M}) (?:is )?manufactured by (?P<b>{M})"), "manufacturer", False, "manufactured by"),
+    (re.compile(r"(?P<b>{M}) manufactures (?:the )?(?P<a>{M})"), "manufacturer", False, "manufactures"),
+    (re.compile(r"(?P<a>{M}) (?:includes|contains|consists of) (?:a |an |the )?(?P<b>{M})"), "hasPart", False, ""),
+    (re.compile(r"(?P<a>{M}) conforms to (?:the )?(?P<b>{M})"), "conformsTo", False, "conforms to"),
+    (re.compile(r"(?P<a>{M}) (?:connects|is connected) to (?:a |an |the )?(?P<b>{M})"), "connectedTo", False, "connect"),
+    (re.compile(r"(?P<a>{M}) operates in (?:the )?(?P<b>{M})"), "operatesIn", False, "operates in"),
+    (re.compile(r"(?P<a>{M}) has (?:a |an )?(?P<b>{M}) feature"), "hasFeature", False, " feature"),
 ]
+
+_HASPART_KEYS = ("includes", "contains", "consists of")
 
 
 @lru_cache(maxsize=8)
@@ -131,8 +135,8 @@ def _compiled_relation_patterns(surfaces: tuple[str, ...]):
     alts.append(PART_NUMBER_INNER)
     mention_pat = "(?:" + "|".join(alts) + ")"
     compiled = []
-    for rx, pred, swap in _RELATION_PATTERNS:
-        compiled.append((re.compile(rx.pattern.replace("{M}", mention_pat)), pred, swap))
+    for rx, pred, swap, prefilter in _RELATION_PATTERNS:
+        compiled.append((re.compile(rx.pattern.replace("{M}", mention_pat)), pred, swap, prefilter))
     return compiled
 
 
@@ -143,7 +147,12 @@ def find_relations(text: str, surfaces: tuple[str, ...]) -> list[tuple[str, str,
     subclass_of (gold-standard convention).
     """
     out: list[tuple[str, str, str]] = []
-    for rx, pred, swap in _compiled_relation_patterns(surfaces):
+    for rx, pred, swap, prefilter in _compiled_relation_patterns(surfaces):
+        if prefilter:
+            if prefilter not in text:
+                continue
+        elif pred == "hasPart" and not any(k in text for k in _HASPART_KEYS):
+            continue
         for m in rx.finditer(text):
             a, b = m.group("a"), m.group("b")
             if swap:

@@ -340,13 +340,23 @@ def hashed_embedding(text: str, dim: int = EMBED_DIM) -> list[float]:
     return v
 
 
+# Scores are rounded to 12 decimals on BOTH sides (oracle and Spark)
+# before thresholding/ranking: different float64 summation orders
+# (np.dot vs matmul) agree to ~1e-15, so rounding makes argmax and
+# threshold comparisons method-independent.
+SCORE_DECIMALS = 12
+
+
 def cosine(a: list[float], b: list[float]) -> float:
-    num = sum(x * y for x, y in zip(a, b))
-    da = math.sqrt(sum(x * x for x in a))
-    db = math.sqrt(sum(x * x for x in b))
-    if da == 0 or db == 0:
+    import numpy as np
+
+    va = np.asarray(a, dtype=np.float64)
+    vb = np.asarray(b, dtype=np.float64)
+    da = float(np.linalg.norm(va))
+    db = float(np.linalg.norm(vb))
+    if da == 0.0 or db == 0.0:
         return 0.0
-    return num / (da * db)
+    return round(float(np.dot(va, vb)) / (da * db), SCORE_DECIMALS)
 
 
 def concept_text(concept: dict) -> str:

@@ -1,0 +1,130 @@
+"""Evaluation / curation analytics (SURVEY.md A1-A21).
+
+Each is a small DataFrame plan; the expensive inputs (matches,
+decisions, mentions) are produced once by the pipeline and reused.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def similarity_distribution(matches: DataFrame) -> DataFrame:
+    """A14: top match score per concept → distribution stats."""
+    top = matches.groupBy("concept").agg(F.max("score").alias("top_score"))
+    return top.agg(
+        F.count("*").alias("n_concepts"),
+        F.round(F.avg("top_score"), 6).alias("mean"),
+        F.round(F.expr("percentile(top_score, 0.5)"), 6).alias("median"),
+        F.round(F.stddev_samp("top_score"), 6).alias("stddev"),
+        F.round(F.expr("percentile(top_score, 0.25)"), 6).alias("p25"),
+        F.round(F.expr("percentile(top_score, 0.75)"), 6).alias("p75"),
+    )
+
+
+def conceptual_saturation(mentions: DataFrame, batch_size: int = 10) -> DataFrame:
+    """A15: per batch of documents — new vs seen distinct concepts,
+    cumulative total, rolling mean of new-concept count (window=10).
+
+    Deterministic batch id: dense_rank of doc_id // batch_size (the
+    reference shuffles randomly; we key on doc order for reproducibility).
+    """
+    doc_rank = Window.orderBy("doc_id")
+    with_batch = (
+        mentions.select("doc_id", "norm_surface").distinct()
+        .withColumn("doc_rank", F.dense_rank().over(doc_rank))
+        .withColumn("batch", ((F.col("doc_rank") - 1) / batch_size).cast("int"))
+    )
+    first_seen = with_batch.groupBy("norm_surface").agg(F.min("batch").alias("first_batch"))
+    per_batch = first_seen.groupBy("first_batch").agg(F.count("*").alias("new_concepts"))
+    w_cum = Window.orderBy("first_batch").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_roll = Window.orderBy("first_batch").rowsBetween(-9, 0)
+    return per_batch.select(
+        F.col("first_batch").alias("batch"),
+        "new_concepts",
+        F.sum("new_concepts").over(w_cum).alias("cumulative_concepts"),
+        F.round(F.avg("new_concepts").over(w_roll), 4).alias("rolling_mean_new"),
+    ).orderBy("batch")
+
+
+def confidence_ranking(decisions: DataFrame, k: int) -> DataFrame:
+    """A6: top-k decisions by confidence (desc, concept asc tiebreak)."""
+    w = Window.orderBy(F.col("confidence").desc(), F.col("concept").asc())
+    return (
+        decisions.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("rank", "concept", "decision", "confidence")
+    )
+
+
+def gold_standard_eval(got_triples: DataFrame, gold_triples: DataFrame) -> DataFrame:
+    """A11: P/R/F1 over (subj, pred, obj) sets via joins.
+    TP = inner join; FP/FN = anti joins each way."""
+    keys = ["subj", "pred", "obj"]
+    got = got_triples.select(keys).distinct()
+    gold = gold_triples.select(keys).distinct()
+    tp = got.join(gold, keys).count()
+    fp = got.join(gold, keys, "left_anti").count()
+    fn = gold.join(got, keys, "left_anti").count()
+    p = tp / (tp + fp) if tp + fp else 0.0
+    r = tp / (tp + fn) if tp + fn else 0.0
+    f1 = 2 * p * r / (p + r) if p + r else 0.0
+    return got.sparkSession.createDataFrame(
+        [(tp, fp, fn, round(p, 6), round(r, 6), round(f1, 6))],
+        "tp bigint, fp bigint, fn bigint, precision double, recall double, f1 double",
+    )
+
+
+def concept_coverage(got_concepts: DataFrame, gold_concepts: DataFrame) -> DataFrame:
+    """A12: coverage/recall + signal-to-noise of concept sets."""
+    got = got_concepts.select("name").distinct()
+    gold = gold_concepts.select("name").distinct()
+    tp = got.join(gold, "name").count()
+    fp = got.count() - tp
+    fn = gold.count() - tp
+    coverage = tp / (tp + fn) if tp + fn else 0.0
+    snr = tp / fp if fp else float(tp)
+    return got.sparkSession.createDataFrame(
+        [(tp, fp, fn, round(coverage, 6), round(snr, 6))],
+        "tp bigint, fp bigint, fn bigint, coverage double, signal_to_noise double",
+    )
+
+
+def review_queue(decisions: DataFrame, limit: int = 200) -> DataFrame:
+    """A19: pending-review list — UNCERTAIN decisions with default
+    confidence 0.75 when null, deterministic order, LIMIT."""
+    return (
+        decisions.where(F.col("decision") == "UNCERTAIN")
+        .select(
+            "concept",
+            F.col("target").alias("suggested_parent"),
+            F.coalesce("confidence", F.lit(0.75)).alias("confidence"),
+        )
+        .orderBy(F.col("confidence").desc(), F.col("concept").asc())
+        .limit(limit)
+    )
+
+
+def stats_endpoint(nodes: DataFrame, edges: DataFrame, decisions: DataFrame) -> DataFrame:
+    """A3: the /api/stats counters as one row."""
+    learned = nodes.where(F.col("source") == "learned_from_dataset").count()
+    needs_review = nodes.where(F.col("needs_review")).count()
+    total_rels = edges.count()
+    dec_agg = decisions.agg(
+        F.count("*").alias("total"),
+        F.sum(F.when(F.col("decision") != "UNCERTAIN", 1).otherwise(0)).alias("automated"),
+    ).collect()[0]
+    rate = dec_agg["automated"] / dec_agg["total"] if dec_agg["total"] else 0.0
+    return nodes.sparkSession.createDataFrame(
+        [(learned, total_rels, needs_review, round(rate, 6))],
+        "learned_concepts bigint, total_relationships bigint, needs_review bigint, automation_rate double",
+    )
+
+
+def graph_viz_sample(nodes: DataFrame, edges: DataFrame,
+                     n_nodes: int = 50, n_edges: int = 100) -> tuple[DataFrame, DataFrame]:
+    """A20: bounded sample for visualization (deterministic order)."""
+    vn = nodes.orderBy("name").limit(n_nodes)
+    ve = edges.orderBy("src", "rel_type", "dst").limit(n_edges)
+    return vn, ve

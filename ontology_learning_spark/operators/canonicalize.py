@@ -82,9 +82,32 @@ def connected_components(
     return labels
 
 
-def canonical_mapping(alias_edges: DataFrame) -> DataFrame:
+SMALL_ALIAS_THRESHOLD = 200_000
+
+
+def canonical_mapping(alias_edges: DataFrame, small_threshold: int = SMALL_ALIAS_THRESHOLD) -> DataFrame:
     """alias_edges(surface, alias_of) → (surface, canonical) resolving
-    chains/hubs; canonical = min-label representative of the component."""
+    chains/hubs; canonical = sink-preferring representative.
+
+    Hybrid plan: the alias set is vocabulary-sized, usually tiny
+    relative to the corpus — below `small_threshold` edges we collect
+    and run an exact driver-side union-find (identical code to the test
+    oracle), skipping ~4 iterations x 3 shuffles of fixed overhead.
+    Above it, the iterative min-label DataFrame loop runs distributed.
+    """
+    n_edges = alias_edges.count()
+    if n_edges <= small_threshold:
+        from ..oracle.reference import canonicalize_aliases
+
+        pairs = [(r["surface"], r["alias_of"]) for r in alias_edges.collect()]
+        mapping = canonicalize_aliases(pairs)
+        spark = alias_edges.sparkSession
+        if not mapping:
+            return spark.createDataFrame([], "surface string, canonical string")
+        return spark.createDataFrame(
+            list(mapping.items()), "surface string, canonical string"
+        )
+
     edges = alias_edges.select(
         F.col("surface").alias("src"), F.col("alias_of").alias("dst")
     )

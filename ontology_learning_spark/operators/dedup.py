@@ -1,0 +1,229 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+All hot paths are pure Catalyst (xxhash64, higher-order array
+functions) — no Python on executors except the vectorized simhash.
+
+Scale notes:
+- exact dedup is one hash-groupBy shuffle; at 100 TB you'd pre-bucket
+  by the hash to make it shuffle-free on repeated runs;
+- MinHash+LSH: signatures are computed map-side; the only shuffle is
+  the band-bucket self-join, whose key cardinality (band hash) is
+  uniform by construction — no skew;
+- candidate verification (exact Jaccard on shingle arrays) runs only
+  on LSH candidates, never all pairs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the min-id representative per exact (md5) text hash."""
+    h = F.md5(F.coalesce(F.col(text_col), F.lit("")))
+    return (
+        df.withColumn("content_hash", h)
+        .groupBy("content_hash")
+        .agg(F.min(id_col).alias(id_col), F.count("*").alias("dup_count"))
+    )
+
+
+def exact_dup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Groups with >1 member (the actual duplicates)."""
+    return exact_dedup(df, text_col, id_col).where(F.col("dup_count") > 1)
+
+
+# ---------------------------------------------------------------------------
+# Shingling + MinHash + LSH banding
+# ---------------------------------------------------------------------------
+
+
+def word_shingles(col, n: int = 3):
+    """Distinct word n-grams as an array column (pure Catalyst)."""
+    toks = F.split(F.lower(F.trim(col)), r"\s+")
+    k = F.size(toks) - (n - 1)
+    idx = F.sequence(F.lit(0), F.greatest(k - 1, F.lit(0)))
+    grams = F.transform(
+        idx, lambda i: F.concat_ws(" ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)])
+    )
+    return F.array_distinct(F.when(k > 0, grams).otherwise(F.array()))
+
+
+# Universal-hash constants for derived minhashes: minhash_i over a
+# shingle set = min of (a_i*h + b_i) mod P where h = xxhash64(shingle)
+# folded to 31 bits. One base hash per shingle; the per-i arithmetic is
+# plain codegen'd projections — no interpreted lambda per (i, shingle).
+_MERSENNE_P = (1 << 31) - 1
+
+
+def _hash_params(num_hashes: int) -> list[tuple[int, int]]:
+    import random
+
+    rng = random.Random(1234)
+    return [(rng.randrange(1, _MERSENNE_P), rng.randrange(0, _MERSENNE_P)) for _ in range(num_hashes)]
+
+
+def minhash_signature(shingles_col, num_hashes: int = 32):
+    """MinHash signature as an array column (narrow path, kept for
+    composability; the candidates pipeline below uses the faster
+    explode+groupBy variant)."""
+    base = F.transform(shingles_col, lambda s: F.pmod(F.xxhash64(s), F.lit(1 << 31)))
+    return F.array(
+        *[
+            F.array_min(F.transform(base, lambda h, a=a, b=b: (h * a + b) % _MERSENNE_P))
+            for a, b in _hash_params(num_hashes)
+        ]
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Near-dup candidate pairs via banded MinHash (id_a < id_b)."""
+    rows = num_hashes // bands
+    params = _hash_params(num_hashes)
+    # explode shingles → one xxhash64 per shingle → num_hashes plain
+    # arithmetic projections (whole-stage codegen) → groupBy-min.
+    ex = (
+        df.select(F.col(id_col).alias("id"), word_shingles(F.col(text_col), shingle_n).alias("sh"))
+        .where(F.size("sh") > 0)
+        .select("id", F.explode("sh").alias("g"))
+        .withColumn("h", F.pmod(F.xxhash64("g"), F.lit(1 << 31)))
+    )
+    sig = ex.groupBy("id").agg(
+        *[F.min((F.col("h") * a + b) % _MERSENNE_P).alias(f"m{i}")
+          for i, (a, b) in enumerate(params)]
+    )
+    banded = sig.select(
+        "id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.xxhash64(F.concat_ws(",", *[F.col(f"m{b * rows + j}") for j in range(rows)])).alias("bh"),
+                )
+                for b in range(bands)
+            ])
+        ).alias("bb"),
+    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bh") == F.col("b.bh"))
+               & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def jaccard_verify(
+    candidates: DataFrame,
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.7,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Exact word-shingle Jaccard on candidate pairs only."""
+    sh = df.select(
+        F.col(id_col).alias("id"), word_shingles(F.col(text_col), shingle_n).alias("sh")
+    )
+    j = (
+        candidates.join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+        .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            / F.size(F.array_union("sh_a", "sh_b")),
+        )
+        .select("id_a", "id_b", "jaccard")
+    )
+    return j.where(F.col("jaccard") >= threshold)
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    shingle_n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+) -> DataFrame:
+    """Full near-dup pipeline: LSH candidates → exact Jaccard verify.
+    32 hashes / 8 bands (r=4): signature cost dominates on corpora
+    without dup clusters, so fewer hashes beat more; r=4 keeps junk
+    candidates low while recall for J≥0.8 dups stays ≈0.99."""
+    cands = minhash_lsh_candidates(df, text_col, id_col, num_hashes, bands, shingle_n)
+    return jaccard_verify(cands, df, text_col, id_col, threshold, shingle_n)
+
+
+# ---------------------------------------------------------------------------
+# SimHash (vectorized pandas UDF — bit ops aren't Catalyst-friendly)
+# ---------------------------------------------------------------------------
+
+
+@F.pandas_udf(T.LongType())
+def simhash64_udf(texts: pd.Series) -> pd.Series:
+    """64-bit SimHash over word tokens (deterministic, numpy-vectorized
+    per batch). Near-dups have small Hamming distance."""
+    import hashlib
+
+    out = np.zeros(len(texts), dtype=np.int64)
+    for i, t in enumerate(texts):
+        toks = (t or "").lower().split()
+        if not toks:
+            continue
+        acc = np.zeros(64, dtype=np.int64)
+        for tok in toks:
+            h = int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "little")
+            bits = np.unpackbits(np.frombuffer(h.to_bytes(8, "little"), dtype=np.uint8))
+            acc += np.where(bits == 1, 1, -1)
+        sig = np.uint64(0)
+        for b in range(64):
+            if acc[b] > 0:
+                sig |= np.uint64(1) << np.uint64(b)
+        out[i] = np.int64(sig.astype(np.int64))
+    return pd.Series(out)
+
+
+def simhash_near_dups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                      max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by SimHash: block on 4×16-bit chunks (pigeonhole:
+    hamming<=3 ⇒ at least one of 4 chunks equal), verify hamming."""
+    sig = df.select(F.col(id_col).alias("id"), simhash64_udf(F.col(text_col)).alias("sig"))
+    chunks = sig.select(
+        "id", "sig",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(c).alias("chunk"),
+                         F.shiftright("sig", c * 16).bitwiseAND(F.lit(0xFFFF)).alias("ch"))
+                for c in range(4)
+            ])
+        ).alias("cc"),
+    ).select("id", "sig", F.col("cc.chunk").alias("chunk"), F.col("cc.ch").alias("ch"))
+    a, b = chunks.alias("a"), chunks.alias("b")
+    cand = (
+        a.join(b, (F.col("a.chunk") == F.col("b.chunk")) & (F.col("a.ch") == F.col("b.ch"))
+               & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                F.col("a.sig").alias("sig_a"), F.col("b.sig").alias("sig_b"))
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return cand.withColumn("hamming", hamming).where(F.col("hamming") <= max_hamming).select(
+        "id_a", "id_b", "hamming"
+    )

@@ -1,0 +1,86 @@
+"""Enrichment operators (SURVEY.md E7-E11): concept context retrieval,
+technical property extraction, Schema.org object generation.
+
+All property extraction is pure Catalyst regexp (the reference prompts
+an LLM per concept; the deterministic twin is unit-pattern rules over
+the same capped context window).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions import columns as C
+
+CONTEXT_CHUNKS = 3
+CONTEXT_CAP = 2000
+
+
+def concept_context(mentions: DataFrame, docs_text: DataFrame) -> DataFrame:
+    """E7: first N docs mentioning each concept, concatenated and capped.
+
+    mentions: (doc_id, norm_surface, ...); docs_text: (doc_id, clean_text).
+    Window by concept → deterministic doc order → collect_list capped.
+    """
+    hit_docs = (
+        mentions.select("norm_surface", "doc_id").distinct()
+        .join(docs_text, "doc_id")
+    )
+    w = Window.partitionBy("norm_surface").orderBy("doc_id")
+    top = hit_docs.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= CONTEXT_CHUNKS)
+    ctx = top.groupBy("norm_surface").agg(
+        F.concat_ws(" ", F.array_sort(F.collect_list(F.struct("rn", "clean_text")))["clean_text"]).alias("_ctx_raw")
+    )
+    return ctx.select(
+        F.col("norm_surface").alias("concept"),
+        F.substring("_ctx_raw", 1, CONTEXT_CAP).alias("context"),
+    )
+
+
+# E9: unit-pattern property extraction (regex over context)
+_PROP_PATTERNS = {
+    "frequency": r"(\d+(?:\.\d+)?(?:\s*-\s*\d+(?:\.\d+)?)?\s*[gm]hz)",
+    "impedance": r"(\d+(?:\.\d+)?\s*ohms?)",
+    "voltage": r"(\d+(?:\.\d+)?\s*v)\b",
+    "connector": r"\b(sma|bnc|n-type|mmcx|u\.fl)\b",
+    "mounting": r"\b(surface mount|surface-mount|smd|smt|through hole|through-hole|tht|panel mount)\b",
+}
+
+
+def extract_properties(context_df: DataFrame) -> DataFrame:
+    """E9: per-concept technical props from context (nulls when absent)."""
+    out = context_df
+    for prop, pat in _PROP_PATTERNS.items():
+        v = F.regexp_extract(F.col("context"), pat, 1)
+        out = out.withColumn(prop, F.when(v != "", v))
+    return out
+
+
+def schema_objects(decided: DataFrame, props: DataFrame) -> DataFrame:
+    """E8/E11: JSON-LD-shaped Product objects for EXTEND/UNCERTAIN
+    concepts, enriched with extracted props (elec:* namespace)."""
+    base = decided.where(F.col("decision").isin("EXTEND", "UNCERTAIN")).select(
+        "concept", "category", "confidence"
+    )
+    joined = base.join(props, "concept", "left")
+    elec_props = F.map_filter(
+        F.create_map(
+            F.lit("elec:frequency"), F.col("frequency"),
+            F.lit("elec:impedance"), F.col("impedance"),
+            F.lit("elec:voltage"), F.col("voltage"),
+            F.lit("elec:connector"), F.col("connector"),
+            F.lit("elec:mounting"), F.col("mounting"),
+        ),
+        lambda k, v: v.isNotNull(),
+    )
+    obj = F.struct(
+        F.lit("Product").alias("@type"),
+        F.col("concept").alias("name"),
+        F.col("category").alias("category"),
+        F.concat(F.lit("http://www.productontology.org/id/"),
+                 C.slugify(F.col("concept"))).alias("additionalType"),
+        elec_props.alias("elec_properties"),
+    )
+    return joined.select("concept", obj.alias("schema_object"),
+                         F.to_json(obj).alias("json_ld"))

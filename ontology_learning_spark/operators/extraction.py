@@ -121,9 +121,14 @@ def distinct_concepts(mentions: DataFrame) -> DataFrame:
 
 
 def extract_pipeline(docs: DataFrame, surfaces: tuple[str, ...]) -> tuple[DataFrame, DataFrame]:
-    """documents(doc_id, spans) → (mentions DF, doc-level triples DF)."""
+    """documents(doc_id, spans) → (mentions DF, doc-level triples DF).
+
+    The mapInPandas output is cached: it feeds BOTH the mentions and
+    triples tables, and the Python extraction pass is the single most
+    expensive narrow stage — without the cache it executes twice.
+    """
     prepped = preprocess(concat_text_spans(docs))
-    extracted = extract(prepped, surfaces)
+    extracted = extract(prepped, surfaces).cache()
     return mentions_table(extracted), triples_table(extracted)
 
 

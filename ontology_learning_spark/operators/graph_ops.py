@@ -144,14 +144,9 @@ def degrees(edges: DataFrame) -> DataFrame:
 
 
 def top_k_by_degree(edges: DataFrame, k: int) -> DataFrame:
-    """A5: global top-k hubs; window keeps it one shuffle."""
-    w = Window.orderBy(F.col("degree").desc(), F.col("name").asc())
-    return (
-        degrees(edges)
-        .withColumn("rnk", F.row_number().over(w))
-        .where(F.col("rnk") <= k)
-        .drop("rnk")
-    )
+    """A5: global top-k hubs. orderBy+limit → TakeOrderedAndProject
+    (per-partition top-k, no single-partition window exchange)."""
+    return degrees(edges).orderBy(F.col("degree").desc(), F.col("name").asc()).limit(k)
 
 
 def leaves(nodes: DataFrame, edges: DataFrame) -> DataFrame:

@@ -125,21 +125,47 @@ def prepare_concepts(concepts: DataFrame) -> DataFrame:
 
 
 def embedding_matches(concepts: DataFrame, catalog: DataFrame, low: float) -> DataFrame:
-    """M2: broadcast cross join + JVM-side cosine, filter >= low."""
-    cat = F.broadcast(
-        catalog.select(
-            F.col("name").alias("candidate"),
-            F.col("category").alias("cand_category"),
-            F.col("embedding").alias("cand_embedding"),
-        )
+    """M2: all-pairs cosine vs the (small, broadcast) catalog.
+
+    One numpy matmul per Arrow batch — (N×d)@(d×C) — instead of a
+    crossJoin with per-element lambda evaluation: the interpreted
+    higher-order-function cosine was ~5x the whole linking budget.
+    Scores round to SCORE_DECIMALS so the float64 summation order is
+    immaterial (same contract as the oracle)."""
+    import numpy as np
+    import pandas as pd
+
+    cat_rows = catalog.select("name", "embedding").collect()  # catalog is small
+    names = np.array([r["name"] for r in cat_rows])
+    M = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in cat_rows])
+    m_norm = np.linalg.norm(M, axis=1)
+    m_norm[m_norm == 0] = 1.0
+    Mn = (M.T / m_norm).T
+
+    def _run(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+            v_norm = np.linalg.norm(V, axis=1)
+            v_norm[v_norm == 0] = 1.0
+            Vn = (V.T / v_norm).T
+            Sc = np.round(Vn @ Mn.T, S.SCORE_DECIMALS)
+            ci, ki = np.nonzero(Sc >= low)
+            yield pd.DataFrame(
+                {
+                    "concept": pdf["concept"].to_numpy()[ci],
+                    "candidate": names[ki],
+                    "score": Sc[ci, ki],
+                }
+            )
+
+    scored = concepts.select("concept", "embedding").mapInPandas(
+        _run, "concept string, candidate string, score double"
     )
-    joined = concepts.select("concept", "embedding").crossJoin(cat)
-    sim = C.cosine(F.col("embedding"), F.col("cand_embedding"))
-    return (
-        joined.withColumn("score", sim)
-        .where(F.col("score") >= low)
-        .select("concept", "candidate", "score", F.lit(0).alias("method_rank"),
-                F.lit("embedding").alias("match_type"))
+    return scored.select(
+        "concept", "candidate", "score",
+        F.lit(0).alias("method_rank"), F.lit("embedding").alias("match_type"),
     )
 
 

@@ -51,10 +51,16 @@ def run_pipeline(
     docs: DataFrame,
     catalog_rows: list[dict] | None = None,
     thresholds: dict | None = None,
+    extra_surfaces: tuple[str, ...] = (),
 ) -> PipelineResult:
+    """``extra_surfaces`` widens the extraction gazetteer beyond the
+    link catalog (mentions of unknown-to-the-catalog terms are what
+    drive EXTEND decisions)."""
     catalog_rows = catalog_rows if catalog_rows is not None else baseline.entity_catalog()
     th = thresholds or S.DEFAULT_THRESHOLDS
-    surfaces = tuple(sorted({r["name"].lower() for r in catalog_rows}))
+    surfaces = tuple(sorted(
+        {r["name"].lower() for r in catalog_rows} | {s.lower() for s in extra_surfaces}
+    ))
 
     catalog = L.prepare_catalog(spark, catalog_rows).cache()
 

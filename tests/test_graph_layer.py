@@ -18,10 +18,12 @@ def graph(spark):
     return nodes.cache(), edges.cache()
 
 
-def test_connected_components_chain_and_hub(spark):
+@pytest.mark.parametrize("small_threshold", [200_000, 0])  # driver-side and distributed paths
+def test_connected_components_chain_and_hub(spark, small_threshold):
     rows = generator.generate_alias_edges()
     alias_df = spark.createDataFrame(rows, "surface string, alias_of string")
-    mapping = {r["surface"]: r["canonical"] for r in CC.canonical_mapping(alias_df).collect()}
+    mapping = {r["surface"]: r["canonical"]
+               for r in CC.canonical_mapping(alias_df, small_threshold=small_threshold).collect()}
     # chain: thick film resistor -> chip resistor -> resistor
     assert mapping["thick film resistor"] == "resistor"
     assert mapping["smd resistor"] == "resistor"

@@ -1,0 +1,89 @@
+"""Physical-plan shape assertions: the properties that matter at 100 TB
+(predicate pushdown, column pruning, broadcast joins, per-partition
+top-k) must be visible in the optimized plan, not just intended."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+def test_filter_pushdown_to_parquet(spark):
+    df = (
+        spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        .where(F.col("l_quantity") > 30)
+        .select("l_orderkey", "l_quantity")
+    )
+    plan = _plan(df)
+    assert "PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,30.0)]" in plan
+
+
+def test_column_pruning(spark):
+    df = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").select("l_orderkey")
+    plan = _plan(df)
+    assert "ReadSchema: struct<l_orderkey:bigint>" in plan
+
+
+def test_catalog_join_is_broadcast(spark):
+    """Linking joins against the catalog must broadcast, not shuffle."""
+    from ontology_learning_spark.fixtures import baseline
+    from ontology_learning_spark.operators import linking as L
+
+    cat = L.prepare_catalog(spark, baseline.entity_catalog())
+    concepts = spark.createDataFrame([("resistor",), ("widget",)], "concept string")
+    exact = L.lexical_exact_matches(concepts, cat)
+    plan = _plan(exact)
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_global_topk_uses_take_ordered(spark):
+    """Top-k must compile to TakeOrderedAndProject (per-partition top-k),
+    never a global single-partition window."""
+    from ontology_learning_spark.operators import graph_ops as G
+
+    edges = spark.createDataFrame(
+        [("a", "SUBCLASS_OF", "b"), ("c", "SUBCLASS_OF", "b")],
+        "src string, rel_type string, dst string",
+    )
+    plan = _plan(G.top_k_by_degree(edges, 5))
+    assert "TakeOrderedAndProject" in plan
+
+    from ontology_learning_spark.operators.simsearch import brute_force_topk
+
+    emb = spark.createDataFrame([(1, [1.0, 0.0]), (2, [0.0, 1.0])], "vec_id int, embedding array<float>")
+    plan2 = _plan(brute_force_topk(emb, [1.0, 0.0], k=1))
+    assert "TakeOrderedAndProject" in plan2
+
+
+def test_preprocess_is_all_jvm(spark, docs_df):
+    """Span concat + preprocessing must be JVM expressions (regexp
+    chains codegen; higher-order lambdas run in the JVM interpreter) —
+    never Python evaluation nodes."""
+    from ontology_learning_spark.operators import extraction as E
+
+    df = E.preprocess(E.concat_text_spans(docs_df)).select("doc_id", "clean_text")
+    plan = _plan(df)
+    assert "*(" in plan  # at least one WholeStageCodegen span
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "regexp_replace" in plan  # preprocessing inlined as expressions
+
+
+def test_validity_filter_is_catalyst(spark):
+    from ontology_learning_spark.functions import columns as C
+
+    df = spark.createDataFrame([("resistor",)], "surface string").where(
+        C.is_valid_concept(F.col("surface"))
+    )
+    plan = _plan(df)
+    assert "Python" not in plan

@@ -1,0 +1,142 @@
+"""Tests for the training-data pipeline operators: dedup family,
+similarity search, text stats, multimodal plumbing."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ontology_learning_spark.operators import dedup as DD
+from ontology_learning_spark.operators import multimodal as MM
+from ontology_learning_spark.operators import simsearch as SS
+from ontology_learning_spark.operators import textstats as TS
+
+
+@pytest.fixture(scope="module")
+def text_df(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog near the river bank"),
+        (2, "the quick brown fox jumps over the lazy dog near the river bank"),  # exact dup of 1
+        (3, "the quick brown fox jumps over the lazy dog near the river delta"),  # near dup
+        (4, "completely different content about voltage regulators and antennas"),
+        (5, "spark window join filter hash aggregate sort merge partition"),
+        (6, ""),
+    ]
+    return spark.createDataFrame(rows, "doc_id int, text string").cache()
+
+
+def test_exact_dedup(text_df):
+    groups = DD.exact_dedup(text_df).collect()
+    assert len(groups) == 5  # 1&2 collapse
+    dups = DD.exact_dup_groups(text_df).collect()
+    assert len(dups) == 1 and dups[0]["doc_id"] == 1 and dups[0]["dup_count"] == 2
+
+
+def test_minhash_lsh_near_dup(text_df):
+    pairs = DD.ngram_jaccard_pairs(text_df, threshold=0.5).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (1, 2) in got          # identical
+    assert (1, 3) in got or (2, 3) in got  # near dup
+    assert all({a, b} & {4, 5} == set() or (a, b) in {(1, 2)} for a, b in got if {a, b} & {4, 5}), got
+
+
+def test_jaccard_values(text_df):
+    cands = text_df.sparkSession.createDataFrame([(1, 2), (1, 4)], "id_a int, id_b int")
+    j = {(r["id_a"], r["id_b"]): r["jaccard"] for r in DD.jaccard_verify(cands, text_df, threshold=0.0).collect()}
+    assert j[(1, 2)] == 1.0
+    assert j[(1, 4)] == 0.0
+
+
+def test_simhash_near_dups(text_df):
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in
+             DD.simhash_near_dups(text_df, max_hamming=10).collect()}
+    assert pairs.get((1, 2)) == 0          # identical text → identical simhash
+    if (1, 3) in pairs:
+        assert pairs[(1, 3)] <= 10
+    assert (1, 4) not in pairs or pairs[(1, 4)] > 3
+
+
+@pytest.fixture(scope="module")
+def emb_df(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(0)
+    base = rng.randn(20, 8)
+    base[1] = base[0] + 0.01 * rng.randn(8)   # near dup of 0
+    rows = [(i, [float(x) for x in base[i]]) for i in range(20)]
+    return spark.createDataFrame(rows, "vec_id int, embedding array<float>").cache()
+
+
+def test_brute_force_topk(emb_df):
+    q = [float(x) for x in emb_df.where("vec_id = 0").first()["embedding"]]
+    top = SS.brute_force_topk(emb_df, q, k=3).collect()
+    assert top[0]["vec_id"] == 0 and top[0]["cosine_sim"] > 0.999999
+    assert top[1]["vec_id"] == 1  # the planted near-dup
+
+
+def test_lsh_topk_recalls_near_neighbor(emb_df):
+    q = [float(x) for x in emb_df.where("vec_id = 0").first()["embedding"]]
+    top = SS.lsh_topk(emb_df, q, k=3, n_planes=8, multiprobe_bits=1).collect()
+    ids = [r["vec_id"] for r in top]
+    assert 0 in ids and 1 in ids
+
+
+def test_embedding_near_dups(emb_df):
+    pairs = {(r["id_a"], r["id_b"]) for r in SS.embedding_near_dups(emb_df, threshold=0.95, n_planes=6).collect()}
+    assert (0, 1) in pairs
+
+
+def test_pairwise_topk(emb_df, spark):
+    queries = emb_df.where("vec_id < 2").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    res = SS.pairwise_topk(emb_df, queries, k=2)
+    got = {(r["query_id"], r["rank"]): r["vec_id"] for r in res.collect()}
+    assert got[(0, 1)] == 0 and got[(1, 1)] == 1
+    assert got[(0, 2)] == 1 and got[(1, 2)] == 0
+
+
+def test_textstats(spark):
+    df = spark.createDataFrame(
+        [(1, "The quick brown fox is in the yard, and it is fine."),
+         (2, "der hund ist nicht mit der katze und der maus"),
+         (3, "你好 世界"),
+         (4, "!!! ??? ...")],
+        "doc_id int, text string",
+    )
+    prof = {r["doc_id"]: r for r in TS.text_profile(df).collect()}
+    assert prof[1]["lang_pred"] == "en"
+    assert prof[2]["lang_pred"] == "de"
+    assert prof[3]["lang_pred"] == "zh"
+    assert prof[4]["lang_pred"] == "unknown"
+    assert prof[1]["n_tokens"] == 12
+    assert prof[1]["quality"] > prof[4]["quality"]
+    assert prof[1]["fingerprint"] == prof[1]["fingerprint"]
+    # fingerprint is whitespace/case-insensitive
+    df2 = spark.createDataFrame([(9, "THE  quick   brown fox is in the yard, and it is fine.")],
+                                "doc_id int, text string")
+    fp2 = TS.text_profile(df2).collect()[0]["fingerprint"]
+    assert fp2 == prof[1]["fingerprint"]
+
+
+def test_multimodal_plumbing(docs_df):
+    media = MM.media_refs_from_spans(docs_df)
+    n_media = media.count()
+    assert n_media > 0
+    decoded = MM.decode_media(media)
+    rows = decoded.collect()
+    assert len(rows) == n_media
+    assert all(r["decode_ok"] for r in rows)
+    assert all(64 <= r["width"] < 256 for r in rows)
+    # determinism
+    again = {r["media_ref"]: (r["width"], r["height"]) for r in MM.decode_media(media).collect()}
+    for r in rows:
+        assert again[r["media_ref"]] == (r["width"], r["height"])
+    frames = MM.sample_frames(decoded, every_n=5)
+    assert frames.count() >= n_media  # at least frame 0 per media
+    assert frames.where(F.col("frame_idx") % 5 != 0).count() == 0
+
+
+def test_decode_real_is_stubbed():
+    with pytest.raises(NotImplementedError):
+        MM._decode_real(b"x", "image")
