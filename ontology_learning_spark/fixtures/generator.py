@@ -42,6 +42,10 @@ PLAIN_TEMPLATES = [
     "see the {a} specification for electrical characteristics",
     "the recommended {a} operating temperature range is -40 to 85 c",
     "a {a} and a {b} are mounted on the demo pcb",
+    # spec sentences feed E9 property extraction / the M4 matcher band
+    "the {a} has an impedance of 50 ohms and covers 2.4-5.8 ghz",
+    "the {a} is rated 3.3 v and uses surface mount packaging",
+    "typical {a} specs: 900 mhz, 75 ohms, sma connector",
 ]
 
 NOISE_WRAPPERS = [

@@ -281,6 +281,30 @@ TECH_MATCHERS = {
     "mounting": match_mounting,
 }
 
+# E9: unit-pattern property extraction over (lowercased) context text.
+# Same pattern strings drive Java regexp_extract (Spark) and re.search
+# (oracle) — plain character classes, identical semantics.
+PROP_PATTERNS: dict[str, str] = {
+    "frequency": r"(\d+(?:\.\d+)?(?:\s*-\s*\d+(?:\.\d+)?)?\s*[gm]hz)",
+    "impedance": r"(\d+(?:\.\d+)?\s*ohms?)",
+    "voltage": r"(\d+(?:\.\d+)?\s*v)\b",
+    "connector": r"\b(sma|bnc|n-type|mmcx|u\.fl)\b",
+    "mounting": r"\b(surface mount|surface-mount|smd|smt|through hole|through-hole|tht|panel mount)\b",
+}
+
+_PROP_RES = {k: re.compile(v) for k, v in PROP_PATTERNS.items()}
+
+CONTEXT_CHUNKS = 3
+CONTEXT_CAP = 2000
+
+
+def extract_props(context: str) -> dict[str, str | None]:
+    out: dict[str, str | None] = {}
+    for prop, rx in _PROP_RES.items():
+        m = rx.search(context or "")
+        out[prop] = m.group(1) if m else None
+    return out
+
 
 def technical_similarity(new: dict, existing: dict) -> float | None:
     """M4: sum of per-prop sims > 0.7; require total >= 1.5; return mean."""

@@ -12,9 +12,10 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions import columns as C
+from ..functions import semantics as S
 
-CONTEXT_CHUNKS = 3
-CONTEXT_CAP = 2000
+CONTEXT_CHUNKS = S.CONTEXT_CHUNKS
+CONTEXT_CAP = S.CONTEXT_CAP
 
 
 def concept_context(mentions: DataFrame, docs_text: DataFrame) -> DataFrame:
@@ -38,20 +39,11 @@ def concept_context(mentions: DataFrame, docs_text: DataFrame) -> DataFrame:
     )
 
 
-# E9: unit-pattern property extraction (regex over context)
-_PROP_PATTERNS = {
-    "frequency": r"(\d+(?:\.\d+)?(?:\s*-\s*\d+(?:\.\d+)?)?\s*[gm]hz)",
-    "impedance": r"(\d+(?:\.\d+)?\s*ohms?)",
-    "voltage": r"(\d+(?:\.\d+)?\s*v)\b",
-    "connector": r"\b(sma|bnc|n-type|mmcx|u\.fl)\b",
-    "mounting": r"\b(surface mount|surface-mount|smd|smt|through hole|through-hole|tht|panel mount)\b",
-}
-
-
 def extract_properties(context_df: DataFrame) -> DataFrame:
-    """E9: per-concept technical props from context (nulls when absent)."""
+    """E9: per-concept technical props from context (nulls when absent).
+    Pattern strings shared with the oracle (semantics.PROP_PATTERNS)."""
     out = context_df
-    for prop, pat in _PROP_PATTERNS.items():
+    for prop, pat in S.PROP_PATTERNS.items():
         v = F.regexp_extract(F.col("context"), pat, 1)
         out = out.withColumn(prop, F.when(v != "", v))
     return out

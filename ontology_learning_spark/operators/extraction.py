@@ -120,16 +120,19 @@ def distinct_concepts(mentions: DataFrame) -> DataFrame:
     )
 
 
-def extract_pipeline(docs: DataFrame, surfaces: tuple[str, ...]) -> tuple[DataFrame, DataFrame]:
-    """documents(doc_id, spans) → (mentions DF, doc-level triples DF).
+def extract_pipeline(
+    docs: DataFrame, surfaces: tuple[str, ...]
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """documents(doc_id, spans) → (mentions, doc-level triples,
+    preprocessed docs (doc_id, clean_text)).
 
     The mapInPandas output is cached: it feeds BOTH the mentions and
     triples tables, and the Python extraction pass is the single most
     expensive narrow stage — without the cache it executes twice.
     """
-    prepped = preprocess(concat_text_spans(docs))
+    prepped = preprocess(concat_text_spans(docs)).select("doc_id", "spans", "clean_text")
     extracted = extract(prepped, surfaces).cache()
-    return mentions_table(extracted), triples_table(extracted)
+    return mentions_table(extracted), triples_table(extracted), prepped.select("doc_id", "clean_text")
 
 
 __all__ = [

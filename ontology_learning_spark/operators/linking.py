@@ -211,6 +211,51 @@ def lexical_fuzzy_matches(blocked: DataFrame) -> DataFrame:
     )
 
 
+TECH_PROPS = ["frequency", "impedance", "voltage", "connector", "mounting"]
+
+
+def technical_matches(props: DataFrame, catalog: DataFrame) -> DataFrame:
+    """M4: spec-based matches. Only concepts/catalog rows with >=2
+    non-null props can clear the >=1.5 total bar, so both sides are
+    prefiltered before the broadcast cross; the matcher arithmetic
+    (M4a-e) runs vectorized via the shared semantics functions."""
+    import pandas as pd
+
+    def _n_props(df, cols):
+        n = None
+        for c in cols:
+            x = F.when(F.col(c).isNotNull(), 1).otherwise(0)
+            n = x if n is None else n + x
+        return n
+
+    left = props.where(_n_props(props, TECH_PROPS) >= 2).select(
+        "concept", *[F.col(p).alias(f"l_{p}") for p in TECH_PROPS]
+    )
+    right = catalog.where(_n_props(catalog, TECH_PROPS) >= 2).select(
+        F.col("name").alias("candidate"), *[F.col(p).alias(f"r_{p}") for p in TECH_PROPS]
+    )
+    pairs = left.crossJoin(F.broadcast(right))
+
+    out_schema = "concept string, candidate string, score double"
+
+    def _run(batches):
+        for pdf in batches:
+            recs = []
+            for r in pdf.itertuples(index=False):
+                new = {p: getattr(r, f"l_{p}") for p in TECH_PROPS}
+                old = {p: getattr(r, f"r_{p}") for p in TECH_PROPS}
+                sim = S.technical_similarity(new, old)
+                if sim is not None:
+                    recs.append((r.concept, r.candidate, sim))
+            yield pd.DataFrame(recs, columns=["concept", "candidate", "score"])
+
+    scored = pairs.mapInPandas(_run, out_schema)
+    return scored.select(
+        "concept", "candidate", "score",
+        F.lit(3).alias("method_rank"), F.lit("technical_specs").alias("match_type"),
+    )
+
+
 def category_matches(blocked: DataFrame) -> DataFrame:
     """M5: same category and ratio(concept, lower(candidate)) >= 0.4."""
     pairs = blocked.where(
@@ -228,12 +273,14 @@ def category_matches(blocked: DataFrame) -> DataFrame:
 
 def find_matches(concepts: DataFrame, catalog: DataFrame,
                  thresholds: dict | None = None,
-                 prepped: bool = False) -> DataFrame:
+                 prepped: bool = False,
+                 props: DataFrame | None = None) -> DataFrame:
     """M1: union all methods → M6 best-per-(concept,candidate) → top-10
     per concept. Returns ranked matches with rank column.
 
     ``prepped=True`` means ``concepts`` already went through
     ``prepare_concepts`` (category/embedding/block_keys present).
+    ``props`` (concept + tech-spec columns) enables the M4 band.
     """
     th = thresholds or S.DEFAULT_THRESHOLDS
     prepped_df = concepts if prepped else prepare_concepts(concepts)
@@ -245,6 +292,8 @@ def find_matches(concepts: DataFrame, catalog: DataFrame,
         .unionByName(lexical_fuzzy_matches(blocked))
         .unionByName(category_matches(blocked))
     )
+    if props is not None:
+        all_matches = all_matches.unionByName(technical_matches(props, catalog))
 
     # M6: best score per (concept, candidate); ties → lower method_rank.
     per_cand = Window.partitionBy("concept", "candidate").orderBy(

@@ -42,8 +42,10 @@ def run(
     # --- extraction ---
     mentions_rows: list[dict] = []  # (doc_id, surface, norm_surface, char_offset)
     triple_rows: list[tuple[str, str, str]] = []
+    clean_texts: dict[str, str] = {}
     for doc in docs:
         text = S.preprocess_text(doc_text(doc))
+        clean_texts[doc["doc_id"]] = text
         mentions, relations = X.extract_document(text, surfaces)
         for m in mentions:
             if S.is_valid_concept(m.surface):
@@ -62,6 +64,15 @@ def run(
                     triple_rows.append((na, p, nb))
 
     distinct_concepts = sorted({m["norm_surface"] for m in mentions_rows})
+
+    # E7/E9: per-concept context (first 3 docs by doc_id, capped) → props
+    concept_docs: dict[str, set[str]] = defaultdict(set)
+    for m in mentions_rows:
+        concept_docs[m["norm_surface"]].add(m["doc_id"])
+    concept_props: dict[str, dict] = {}
+    for concept, dids in concept_docs.items():
+        ctx = " ".join(clean_texts[d] for d in sorted(dids)[: S.CONTEXT_CHUNKS])[: S.CONTEXT_CAP]
+        concept_props[concept] = S.extract_props(ctx)
 
     # --- linking ---
     cat_by_name = {c["name"]: c for c in catalog}
@@ -106,6 +117,14 @@ def run(
             r = S.seq_ratio(concept, cat_norm[cname])
             if r >= 0.8:
                 _offer(cname, r, "lexical_similar_normalized")
+
+        # M4: technical-spec matches (props from context vs catalog specs)
+        props = concept_props.get(concept, {})
+        if sum(1 for p in props.values() if p) >= 2:
+            for cname, c in cat_by_name.items():
+                sim = S.technical_similarity(props, c)
+                if sim is not None:
+                    _offer(cname, sim, "technical_specs")
 
         # M5: category variant (same category, ratio >= 0.4) over blocked pairs
         for cname in blocked:

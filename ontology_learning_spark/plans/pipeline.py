@@ -29,6 +29,7 @@ from ..functions import columns as C
 from ..functions import semantics as S
 from ..operators import canonicalize as CC
 from ..operators import decisions as D
+from ..operators import enrich as EN
 from ..operators import extraction as E
 from ..operators import linking as L
 from ..sources import tables as TBL
@@ -64,13 +65,17 @@ def run_pipeline(
 
     catalog = L.prepare_catalog(spark, catalog_rows).cache()
 
-    mentions, doc_triples = E.extract_pipeline(docs, surfaces)
-    mentions = mentions.cache()  # reused: linking + metrics + fan-back
+    mentions, doc_triples, docs_text = E.extract_pipeline(docs, surfaces)
+    mentions = mentions.cache()  # reused: linking + context + fan-back
 
     concepts = E.distinct_concepts(mentions)
     prepped = L.prepare_concepts(concepts).cache()
 
-    matches = L.find_matches(prepped, catalog, th, prepped=True)
+    # E7/E9: concept context → technical props (feeds the M4 band)
+    context = EN.concept_context(mentions, docs_text)
+    props = EN.extract_properties(context).drop("context")
+
+    matches = L.find_matches(prepped, catalog, th, prepped=True, props=props)
     best = L.best_matches(matches, catalog)
     best_full = prepped.select("concept", "category").join(best, "concept", "left")
 

@@ -39,7 +39,7 @@ def run_incremental_extraction(
     )
 
     def _process(batch_df, batch_id: int) -> None:
-        mentions, _ = E.extract_pipeline(batch_df, surfaces)
+        mentions, _, _ = E.extract_pipeline(batch_df, surfaces)
         mentions.write.mode("append").parquet(output_dir)
 
     q = (
