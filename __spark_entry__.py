@@ -251,6 +251,123 @@ def _q_graph_degree_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return G.top_k_by_degree(_edges_df(spark), 5)
 
 
+def _q_graph_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ontology_learning_spark.operators import graph_ops as G
+
+    hops = G.shortest_path_length(_edges_df(spark), "Resistor", "Capacitor")
+    return spark.createDataFrame(
+        [("Resistor", "Capacitor", hops)], "a string, b string, hops int"
+    )
+
+
+def _q_graph_redundant_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ontology_learning_spark.operators import graph_ops as G
+
+    edges = _edges_df(spark).unionByName(
+        spark.createDataFrame(
+            [("FPCAntenna", "RELATEDTO", "Antenna")], "src string, rel_type string, dst string"
+        )
+    )
+    return G.redundant_edges(edges).select(
+        "src", "dst", F.col("n_types").cast("bigint").alias("n_types")
+    ).orderBy("src")
+
+
+def _q_graph_taxonomic_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ontology_learning_spark.operators import graph_ops as G
+
+    edges = _edges_df(spark).unionByName(
+        spark.createDataFrame(
+            [("Antenna", "CONNECTEDTO", "Cable"), ("Resistor", "HASPART", "Cable")],
+            "src string, rel_type string, dst string",
+        )
+    )
+    return G.taxonomic_split(edges).orderBy("kind")
+
+
+def _q_kg_saturation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A15 over driver documents: batches of 50 docs (doc_id order),
+    new/cumulative distinct surfaces per batch."""
+    from ontology_learning_spark.operators import analytics as A
+    from ontology_learning_spark.operators import extraction as E
+
+    surfaces = tuple(_vocab_surfaces())
+    docs = _spans_docs(spark, sf_dir)
+    prepped = E.preprocess(E.concat_text_spans(docs))
+    extracted = E.extract(prepped, surfaces)
+    m = extracted.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), F.explode("mentions").alias("m")
+    ).select("doc_id", F.col("m.surface").alias("norm_surface"))
+    out = A.conceptual_saturation(m, batch_size=50)
+    return out.select(
+        "batch", "new_concepts",
+        F.col("cumulative_concepts").cast("bigint").alias("cumulative_concepts"),
+    )
+
+
+def _q_kg_confidence_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ontology_learning_spark.operators import analytics as A
+
+    dec = _q_kg_decisions_lexical(spark, sf_dir)
+    return A.confidence_ranking(dec, 20)
+
+
+def _q_rel_orders_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").where(F.col("o_custkey") < 50)
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+        .select("o_custkey", "o_orderkey", F.col("o_totalprice").alias("price"), "rnk")
+    )
+
+
+def _q_rel_nation_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    r = spark.read.parquet(f"{sf_dir}/region.parquet")
+    return (
+        c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy("r_name", "n_name")
+        .agg(F.count("*").alias("n_customers"),
+             F.round(F.sum(F.col("c_acctbal").cast("decimal(28,6)")).cast("double"), 2).alias("total_balance"))
+        .orderBy("r_name", "n_name")
+    )
+
+
+def _q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session assignment via 30-minute inactivity gaps (lag + running
+    sum of boundary flags) — the batch form of session windowing."""
+    e = spark.read.parquet(f"{sf_dir}/events.parquet").where(F.col("user_id") < 20)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    epoch = F.unix_timestamp(F.col("ts").cast("timestamp"))  # NTZ → session-UTC epoch
+    gap = epoch - F.lag(epoch).over(w)
+    flagged = e.withColumn(
+        "new_session", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    )
+    cum = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    sessions = flagged.withColumn("session_id", F.sum("new_session").over(cum))
+    return sessions.groupBy("user_id").agg(
+        F.max("session_id").alias("n_sessions"), F.count("*").alias("n_events")
+    )
+
+
+def _q_emb_pairwise_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ontology_learning_spark.operators.simsearch import pairwise_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries_df = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = pairwise_topk(emb, queries_df, k=3)
+    return out.select("query_id", "vec_id", F.round("cosine_sim", 4).alias("cosine_sim"), "rank")
+
+
 def _q_kg_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ontology_learning_spark.operators.canonicalize import connected_components
 
@@ -486,12 +603,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_decisions_lexical": _q_kg_decisions_lexical,
         "kg_components": _q_kg_components,
         "kg_pipeline_decisions": _q_kg_pipeline_triples,
+        "kg_saturation": _q_kg_saturation,
+        "kg_confidence_topk": _q_kg_confidence_topk,
         # graph query corpus (§2.5)
         "graph_descendants": _q_graph_descendants,
         "graph_ancestors": _q_graph_ancestors,
         "graph_leaves": _q_graph_leaves,
         "graph_siblings": _q_graph_siblings,
         "graph_degree_topk": _q_graph_degree_topk,
+        "graph_shortest_path": _q_graph_shortest_path,
+        "graph_redundant_edges": _q_graph_redundant_edges,
+        "graph_taxonomic_split": _q_graph_taxonomic_split,
         # relational / analytics (§2.4)
         "rel_q1_pricing": _q_rel_q1_pricing,
         "rel_topk_customers": _q_rel_topk_customers,
@@ -500,6 +622,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_events_rolling": _q_rel_events_rolling,
         "rel_lineitem_stats": _q_rel_lineitem_stats,
         "rel_brand_revenue": _q_rel_brand_revenue,
+        "rel_orders_rank": _q_rel_orders_rank,
+        "rel_nation_rollup": _q_rel_nation_rollup,
+        "events_sessionize": _q_events_sessionize,
         # training-data ops
         "dedup_exact": _q_dedup_exact,
         "text_fingerprints": _q_text_fingerprints,
@@ -507,6 +632,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": _q_text_quality,
         "text_lang_id": _q_text_lang_id,
         "emb_topk": _q_emb_topk,
+        "emb_pairwise_topk": _q_emb_pairwise_topk,
         "emb_label_centroid_norms": _q_emb_label_centroid_norms,
         # rows-only (no oracle: LSH/SimHash/pipeline are not ANSI-SQL)
         "minhash_near_dups": _q_minhash_near_dups,
@@ -639,6 +765,125 @@ def oracle_sql() -> dict[str, str]:
             deg AS (SELECT name, COUNT(*) AS degree FROM ends GROUP BY name)
             SELECT name AS name, CAST(degree AS BIGINT) AS degree FROM deg
             ORDER BY degree DESC, name ASC LIMIT 5
+        """,
+        "graph_shortest_path": f"""
+            WITH RECURSIVE h(child, parent) AS (SELECT * FROM (VALUES {hier}) t(child, parent)),
+            und(src, dst) AS (SELECT child, parent FROM h UNION SELECT parent, child FROM h),
+            walk(node, depth) AS (
+              SELECT 'Resistor', 0
+              UNION
+              SELECT u.dst, w.depth + 1 FROM walk w JOIN und u ON u.src = w.node WHERE w.depth < 12
+            )
+            SELECT 'Resistor' AS a, 'Capacitor' AS b, CAST(MIN(depth) AS INT) AS hops
+            FROM walk WHERE node = 'Capacitor'
+        """,
+        "graph_redundant_edges": f"""
+            WITH h(child, parent) AS (SELECT * FROM (VALUES {hier}) t(child, parent)),
+            e(src, rel_type, dst) AS (
+              SELECT child, 'SUBCLASS_OF', parent FROM h
+              UNION ALL SELECT 'FPCAntenna', 'RELATEDTO', 'Antenna'
+            )
+            SELECT src, dst, COUNT(DISTINCT rel_type) AS n_types
+            FROM e GROUP BY src, dst HAVING COUNT(DISTINCT rel_type) > 1 ORDER BY src
+        """,
+        "graph_taxonomic_split": f"""
+            WITH h(child, parent) AS (SELECT * FROM (VALUES {hier}) t(child, parent)),
+            e(src, rel_type, dst) AS (
+              SELECT child, 'SUBCLASS_OF', parent FROM h
+              UNION ALL SELECT 'Antenna', 'CONNECTEDTO', 'Cable'
+              UNION ALL SELECT 'Resistor', 'HASPART', 'Cable'
+            )
+            SELECT CASE WHEN rel_type = 'SUBCLASS_OF' THEN 'taxonomic' ELSE 'non_taxonomic' END AS kind,
+                   COUNT(*) AS n
+            FROM e GROUP BY 1 ORDER BY kind
+        """,
+        "kg_saturation": f"""
+            WITH dm AS (
+              SELECT DISTINCT d.doc_id AS doc_id, v.surface AS surface
+              FROM documents d CROSS JOIN (VALUES {voc}) v(surface)
+              WHERE length(regexp_extract_all(d.text, '\\b' || v.surface || '\\b')) > 0
+            ), ranked AS (
+              SELECT doc_id, surface, DENSE_RANK() OVER (ORDER BY doc_id) AS dr FROM dm
+            ), batched AS (
+              SELECT surface, CAST(FLOOR((dr - 1) / 50) AS INT) AS batch FROM ranked
+            ), first_seen AS (
+              SELECT surface, MIN(batch) AS first_batch FROM batched GROUP BY surface
+            ), per_batch AS (
+              SELECT first_batch AS batch, COUNT(*) AS new_concepts FROM first_seen GROUP BY 1
+            )
+            SELECT batch, new_concepts,
+                   SUM(new_concepts) OVER (ORDER BY batch ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS cumulative_concepts
+            FROM per_batch ORDER BY batch
+        """,
+        "kg_confidence_topk": f"""
+            WITH words AS (
+              SELECT DISTINCT unnest(string_split(text, ' ')) AS w FROM documents
+            ), valid AS (
+              SELECT w AS concept FROM words
+              WHERE lower(w) NOT IN ({_STOPWORDS_SQL}) AND length(w) >= 3
+                AND regexp_matches(w, '[a-zA-Z]') AND NOT regexp_full_match(w, '[0-9]+')
+                AND w NOT LIKE '%/%' AND w NOT LIKE '%www.%' AND w NOT LIKE '%.com%'
+            ), dec AS (
+              SELECT v.concept AS concept,
+                     CASE WHEN c.name IS NOT NULL THEN 'MAP_EXACT' ELSE 'EXTEND' END AS decision,
+                     CAST(CASE WHEN c.name IS NOT NULL THEN 1.0 ELSE 0.9 END AS DOUBLE) AS confidence
+              FROM valid v LEFT JOIN (VALUES {cat}) c(name, category) ON v.concept = c.name
+            )
+            SELECT CAST(ROW_NUMBER() OVER (ORDER BY confidence DESC, concept ASC) AS INT) AS rank,
+                   concept, decision, confidence
+            FROM dec ORDER BY rank LIMIT 20
+        """,
+        "rel_orders_rank": """
+            WITH r AS (
+              SELECT o_custkey, o_orderkey, o_totalprice AS price,
+                     ROW_NUMBER() OVER (PARTITION BY o_custkey
+                         ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
+              FROM orders WHERE o_custkey < 50
+            )
+            SELECT o_custkey, o_orderkey, price, CAST(rnk AS INT) AS rnk FROM r WHERE rnk <= 3
+        """,
+        "rel_nation_rollup": """
+            SELECT r_name, n_name, COUNT(*) AS n_customers,
+                   ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(28,6))) AS DOUBLE), 2) AS total_balance
+            FROM customer
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name, n_name ORDER BY r_name, n_name
+        """,
+        "events_sessionize": """
+            WITH flagged AS (
+              SELECT user_id, ts, event_id,
+                     CASE WHEN epoch(ts) - LAG(epoch(ts)) OVER
+                          (PARTITION BY user_id ORDER BY ts, event_id) IS NULL THEN 1
+                          WHEN epoch(ts) - LAG(epoch(ts)) OVER
+                          (PARTITION BY user_id ORDER BY ts, event_id) > 1800 THEN 1
+                          ELSE 0 END AS new_session
+              FROM events WHERE user_id < 20
+            ), sess AS (
+              SELECT user_id,
+                     SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+              FROM flagged
+            )
+            SELECT user_id, MAX(session_id) AS n_sessions, COUNT(*) AS n_events
+            FROM sess GROUP BY user_id
+        """,
+        "emb_pairwise_topk": """
+            WITH q AS (
+              SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+              FROM embeddings WHERE vec_id < 5
+            ), s AS (
+              SELECT q.query_id, e.vec_id,
+                     list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) AS cs
+              FROM embeddings e CROSS JOIN q
+            ), r AS (
+              SELECT query_id, vec_id, cs,
+                     ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cs DESC, vec_id ASC) AS rnk
+              FROM s
+            )
+            SELECT query_id, vec_id, ROUND(cs, 4) AS cosine_sim, CAST(rnk AS INT) AS rank
+            FROM r WHERE rnk <= 3
         """,
         "rel_q1_pricing": """
             SELECT l_returnflag, l_linestatus,
