@@ -56,7 +56,9 @@ def main() -> None:
     from ontology_learning_spark.sources.tables import StageStore, baseline_graph, merge_graph
 
     store = StageStore(spark, out, args.run_id)
-    triples_df = store.materialize("triples", lambda: result.triples)
+    # triples partitioned by predicate, edges by rel_type: queries that
+    # filter a relation class (the common §2.5 shape) prune partitions.
+    triples_df = store.materialize("triples", lambda: result.triples, partition_by=["pred"])
     tasks_df = store.materialize("tasks", lambda: result.tasks)
     store.materialize("mappings", lambda: result.mappings)
     store.materialize("decisions", lambda: result.decisions)
@@ -64,7 +66,7 @@ def main() -> None:
     base_n, base_e = baseline_graph(spark, ONTOLOGY_HIERARCHY)
     nodes_df, edges_df = merge_graph(base_n, base_e, tasks_df, triples_df, args.run_id)
     store.materialize("nodes", lambda: nodes_df)
-    store.materialize("edges", lambda: edges_df)
+    store.materialize("edges", lambda: edges_df, partition_by=["rel_type"])
 
     n_triples = triples_df.count()
     n_docs = docs.count()

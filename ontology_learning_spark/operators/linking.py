@@ -89,28 +89,26 @@ CATALOG_SCHEMA = (
 
 def prepare_catalog(spark: SparkSession, rows: list[dict]) -> DataFrame:
     """Catalog DF with norm name, embedding and block keys precomputed.
-    Small → cached + broadcast at every use site."""
+
+    The catalog is dimension-sized (it gets broadcast everywhere), so
+    norm/embedding are computed driver-side — one less Python stage in
+    the job (the concept side always uses the distributed UDF path).
+    A corpus-scale catalog would flip to prepare_concepts-style UDFs.
+    """
+    prepared = [
+        {
+            **{k: r.get(k) for k in (
+                "name", "category", "description", "frequency",
+                "impedance", "voltage", "connector", "mounting", "source")},
+            "norm_name": S.normalize_name(r["name"]),
+            "embedding": S.hashed_embedding(S.concept_text(r)),
+        }
+        for r in rows
+    ]
     cat = spark.createDataFrame(
-        [{k: r.get(k) for k in (
-            "name", "norm_name", "category", "description", "frequency",
-            "impedance", "voltage", "connector", "mounting", "source")} for r in rows],
-        schema=CATALOG_SCHEMA,
+        prepared, schema=CATALOG_SCHEMA + ", embedding array<double>"
     )
-    cat = cat.withColumn("norm_name", C.normalize_name(F.col("name")))
-    cat = cat.withColumn(
-        "embedding",
-        embed_text_udf(
-            concept_text_col(
-                F.col("name"),
-                F.col("category"),
-                F.col("description"),
-                F.col("frequency"),
-                F.col("impedance"),
-            )
-        ),
-    )
-    cat = cat.withColumn("block_keys", block_keys_col(F.col("norm_name")))
-    return cat
+    return cat.withColumn("block_keys", block_keys_col(F.col("norm_name")))
 
 
 def prepare_concepts(concepts: DataFrame) -> DataFrame:

@@ -1,0 +1,83 @@
+"""Bucketed co-located joins + hypothesis property tests for the shared
+rule set (SURVEY §5: the reference has no property tests; we add them)."""
+
+from __future__ import annotations
+
+import string
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from ontology_learning_spark.functions import semantics as S
+
+words = st.text(alphabet=string.ascii_lowercase, min_size=1, max_size=12)
+texts = st.text(
+    alphabet=string.ascii_letters + string.digits + " .,!#*_[]()/:-\n\t",
+    max_size=300,
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(texts)
+def test_preprocess_idempotent(t):
+    once = S.preprocess_text(t)
+    assert S.preprocess_text(once) == once
+
+
+@settings(max_examples=200, deadline=None)
+@given(texts)
+def test_preprocess_output_invariants(t):
+    out = S.preprocess_text(t)
+    assert out == out.strip()
+    assert "  " not in out
+    assert out == out.lower()
+
+
+@settings(max_examples=200, deadline=None)
+@given(words)
+def test_normalize_idempotent(w):
+    once = S.normalize_name(w)
+    assert S.normalize_name(once) == once
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(words, min_size=1, max_size=3).map(" ".join))
+def test_normalize_only_touches_head_token(phrase):
+    out = S.normalize_name(phrase)
+    assert out.split(" ")[:-1] == phrase.lower().split(" ")[:-1]
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.floats(-1e3, 1e3, allow_nan=False), min_size=2, max_size=64),
+       st.lists(st.floats(-1e3, 1e3, allow_nan=False), min_size=2, max_size=64))
+def test_cosine_bounds(a, b):
+    n = min(len(a), len(b))
+    c = S.cosine(a[:n], b[:n])
+    assert -1.0000001 <= c <= 1.0000001
+
+
+@settings(max_examples=100, deadline=None)
+@given(texts)
+def test_embedding_unit_norm_or_zero(t):
+    v = S.hashed_embedding(t)
+    norm2 = sum(x * x for x in v)
+    assert abs(norm2 - 1.0) < 1e-9 or norm2 == 0.0
+
+
+def test_bucketed_join_no_shuffle(spark, tmp_path):
+    from ontology_learning_spark.sources.bucketing import (
+        bucketed_join_is_shuffle_free,
+        write_bucketed,
+    )
+
+    left = spark.range(1000).selectExpr("id as k", "id * 2 as v")
+    right = spark.range(1000).selectExpr("id as k", "id * 3 as w")
+    try:
+        write_bucketed(left, "bt_left", "k", n_buckets=8, sort_col="k")
+        write_bucketed(right, "bt_right", "k", n_buckets=8, sort_col="k")
+        df, shuffle_free = bucketed_join_is_shuffle_free(spark, "bt_left", "bt_right", "k")
+        assert shuffle_free, "bucketed equi-join must not exchange"
+        assert df.count() == 1000
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bt_left")
+        spark.sql("DROP TABLE IF EXISTS bt_right")
