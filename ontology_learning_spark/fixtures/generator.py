@@ -85,9 +85,36 @@ def _pick_surface(rng: random.Random, surfaces: list[str]) -> str:
     return s
 
 
+# Realize a gold-standard relation as a sentence whose verb phrase the
+# extraction rules recognize — plants recoverable gold triples so the
+# A11 evaluation measures real recall, not just oracle parity.
+_GOLD_REL_TEMPLATES = {
+    "subclass_of": "the {s} is a {t}",
+    "instance_of": "the {s} is a {t}",   # part-number subjects flip to instance_of
+    "manufacturer": "{s} is manufactured by {t}",
+    "hasPart": "the {s} includes a {t}",
+    "conformsTo": "the {s} conforms to the {t}",
+}
+
+
+def _gold_sentence(rng: random.Random) -> str | None:
+    from . import baseline
+
+    rels = baseline.gold_relations()
+    r = rels[rng.randrange(len(rels))]
+    tmpl = _GOLD_REL_TEMPLATES.get(r["type"])
+    if not tmpl:
+        return None
+    return tmpl.format(s=r["source"].lower(), t=r["target"].lower())
+
+
 def _sentence(rng: random.Random, surfaces: list[str]) -> str:
     a = _pick_surface(rng, surfaces)
     b = _pick_surface(rng, surfaces)
+    if rng.random() < 0.25:
+        gs = _gold_sentence(rng)
+        if gs:
+            return gs
     if rng.random() < 0.12:
         # part-number sentence → instance_of via pattern rules
         part = rng.choice(PART_PREFIXES) + str(rng.randint(100, 9999))

@@ -204,6 +204,7 @@ def canonicalize_aliases(pairs: list[tuple[str, str]]) -> dict[str, str]:
         if ra != rb:
             parent[ra] = rb
 
+    pairs = [(s, t) for s, t in pairs if s != t]  # self-aliases carry no information
     surfaces = {s for s, _ in pairs}
     targets = {t for _, t in pairs}
     for s, t in pairs:

@@ -98,16 +98,15 @@ def run_pipeline(
     # M13: canonicalize through MAP_* alias edges (connected components
     # resolves chains; the reference's single-hop sameAs is the
     # degenerate case).
+    # Normalize BEFORE the self-edge filter: a surface whose target
+    # differs only in case/plurality is a self-alias and must not enter
+    # the union-find (it would mark the canonical as a non-sink).
     alias_edges = mappings.select(
-        F.col("name").alias("surface"), F.col("canonical").alias("alias_of")
+        F.col("name").alias("surface"),
+        C.normalize_name(F.col("canonical")).alias("alias_of"),
     ).where(F.col("surface") != F.col("alias_of"))
     if not alias_edges.isEmpty():
-        canon_map = CC.canonical_mapping(
-            alias_edges.select(
-                "surface",
-                C.normalize_name(F.col("alias_of")).alias("alias_of"),
-            )
-        )
+        canon_map = CC.canonical_mapping(alias_edges)
         triples = CC.apply_canonicalization(triples, canon_map)
 
     return PipelineResult(

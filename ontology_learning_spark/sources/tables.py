@@ -122,8 +122,14 @@ def baseline_graph(spark: SparkSession, hierarchy: list[tuple[str, str]]) -> tup
 
 def _sanitize_rel(col):
     """Dynamic rel types: uppercase, non-alnum stripped (mirrors the
-    reference's sanitized dynamic edge labels)."""
-    return F.upper(F.regexp_replace(col, "[^a-zA-Z0-9]", ""))
+    reference's sanitized dynamic edge labels). The taxonomic predicates
+    keep their canonical SUBCLASS_OF/INSTANCE_OF forms — sanitizing them
+    would split the hierarchy into two edge types."""
+    return (
+        F.when(F.lower(col) == "subclass_of", F.lit("SUBCLASS_OF"))
+        .when(F.lower(col) == "instance_of", F.lit("INSTANCE_OF"))
+        .otherwise(F.upper(F.regexp_replace(col, "[^a-zA-Z0-9]", "")))
+    )
 
 
 def merge_graph(
@@ -139,9 +145,31 @@ def merge_graph(
       and a SUBCLASS_OF edge to its parent (parent auto-created);
     - extracted triples merge sanitized dynamic edges and any missing
       endpoint nodes;
-    - name is the merge key: existing rows win (first-writer).
+    - name is the merge key: existing rows win (first-writer);
+    - triple endpoints arrive NORMALIZED (lowercase/singular) while
+      existing graph names may be display-cased ('ElectronicComponent')
+      — endpoints are resolved through a norm→canonical-name map built
+      from the existing nodes so merged edges attach to the hierarchy
+      instead of spawning case-variant orphans.
     """
     from ..functions import columns as C
+
+    # norm → canonical display name for every already-known node
+    resolve = F.broadcast(
+        nodes.select(C.normalize_name(F.col("name")).alias("_norm"),
+                     F.col("name").alias("_canonical"))
+        .dropDuplicates(["_norm"])
+    )
+
+    def _resolved(df: DataFrame, col: str) -> DataFrame:
+        return (
+            df.join(resolve, df[col] == resolve["_norm"], "left")
+            .withColumn(col, F.coalesce("_canonical", col))
+            .drop("_norm", "_canonical")
+        )
+
+    triples = _resolved(_resolved(triples, "subj"), "obj")
+    tasks = _resolved(tasks, "parent_class")
 
     task_nodes = tasks.select(
         F.col("name"),
