@@ -568,6 +568,17 @@ def _q_emb_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ontology_learning_spark.operators.simsearch import ivf_topk, train_ivf_centroids
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = train_ivf_centroids(emb, n_centroids=8, n_iters=3)
+    qvec = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
+    return ivf_topk(emb, qvec, cents, k=10, n_probe=3).select(
+        "vec_id", F.round("cosine_sim", 4).alias("cosine_sim")
+    )
+
+
 def _q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ontology_learning_spark.operators.multimodal import decode_media, media_refs_from_spans
 
@@ -639,6 +650,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_dups": _q_simhash_near_dups,
         "emb_near_dups": _q_emb_near_dups,
         "emb_lsh_topk": _q_emb_lsh_topk,
+        "emb_ivf_topk": _q_emb_ivf_topk,
         "multimodal_decode": _q_multimodal_decode,
     }
 

@@ -151,3 +151,88 @@ def embedding_near_dups(
 def _first_dim(df: DataFrame, vec_col: str) -> int:
     row = df.select(F.size(vec_col).alias("d")).first()
     return int(row["d"])
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN: coarse k-means quantizer trained by a few
+# Lloyd iterations expressed as DataFrame ops, then probe-top-P search.
+# ---------------------------------------------------------------------------
+
+
+def train_ivf_centroids(
+    df: DataFrame,
+    n_centroids: int = 16,
+    n_iters: int = 5,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> np.ndarray:
+    """Lloyd's k-means as a driver loop of DataFrame jobs: assignment is
+    a vectorized argmax per Arrow batch against the broadcast centroid
+    matrix; the update is one groupBy over (centroid, dim-sums) rows.
+    Deterministic: init = seeded sample of input vectors."""
+    init_rows = (
+        df.select(id_col, vec_col)
+        .orderBy(F.pmod(F.xxhash64(F.col(id_col).cast("string")) + seed, F.lit(997)), F.col(id_col))
+        .limit(n_centroids)
+        .collect()
+    )
+    cents = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in init_rows])
+
+    for _ in range(n_iters):
+        assigned = assign_ivf(df, cents, vec_col, id_col)
+        # update: mean vector per cluster via per-dimension aggregation
+        dim = cents.shape[1]
+        sums = assigned.select(
+            "ivf_cluster",
+            *[F.element_at(F.col(vec_col).cast("array<double>"), i + 1).alias(f"x{i}") for i in range(dim)],
+        ).groupBy("ivf_cluster").agg(
+            F.count("*").alias("n"), *[F.sum(f"x{i}").alias(f"s{i}") for i in range(dim)]
+        ).collect()
+        new = cents.copy()
+        for r in sums:
+            c = r["ivf_cluster"]
+            n = r["n"]
+            if n > 0:
+                new[c] = np.array([r[f"s{i}"] for i in range(dim)]) / n
+        if np.allclose(new, cents, atol=1e-9):
+            break
+        cents = new
+    return cents
+
+
+def assign_ivf(df: DataFrame, centroids: np.ndarray,
+               vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    """Add ivf_cluster = argmin L2 distance to the broadcast centroids
+    (one numpy matmul per Arrow batch)."""
+    C_ = centroids.astype(np.float64)
+    c_sq = (C_ * C_).sum(axis=1)
+
+    @F.pandas_udf(T.IntegerType())
+    def assign_udf(vecs: pd.Series) -> pd.Series:
+        V = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        # argmin ||v-c||^2 = argmin (c.c - 2 v.c)
+        d = c_sq[None, :] - 2.0 * (V @ C_.T)
+        return pd.Series(np.argmin(d, axis=1).astype(np.int32))
+
+    return df.withColumn("ivf_cluster", assign_udf(F.col(vec_col)))
+
+
+def ivf_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    centroids: np.ndarray,
+    k: int = 10,
+    n_probe: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """ANN top-k scanning only the n_probe closest clusters. At scale
+    the assignment is precomputed and the table is partitioned by
+    ivf_cluster → probing is partition pruning, not a scan."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    d = (centroids * centroids).sum(axis=1) - 2.0 * (centroids @ q)
+    probes = [int(i) for i in np.argsort(d)[:n_probe]]
+    assigned = assign_ivf(df, centroids, vec_col, id_col)
+    cand = assigned.where(F.col("ivf_cluster").isin(probes))
+    return brute_force_topk(cand, query_vec, k, vec_col, id_col)
