@@ -95,11 +95,13 @@ def canonical_mapping(alias_edges: DataFrame, small_threshold: int = SMALL_ALIAS
     oracle), skipping ~4 iterations x 3 shuffles of fixed overhead.
     Above it, the iterative min-label DataFrame loop runs distributed.
     """
-    n_edges = alias_edges.count()
-    if n_edges <= small_threshold:
+    # limit(k+1)+collect instead of count()+collect(): one job decides
+    # the branch AND fetches the edges when small.
+    probe = alias_edges.limit(small_threshold + 1).collect()
+    if len(probe) <= small_threshold:
         from ..oracle.reference import canonicalize_aliases
 
-        pairs = [(r["surface"], r["alias_of"]) for r in alias_edges.collect()]
+        pairs = [(r["surface"], r["alias_of"]) for r in probe]
         mapping = canonicalize_aliases(pairs)
         spark = alias_edges.sparkSession
         if not mapping:

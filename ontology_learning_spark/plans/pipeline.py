@@ -105,9 +105,11 @@ def run_pipeline(
         F.col("name").alias("surface"),
         C.normalize_name(F.col("canonical")).alias("alias_of"),
     ).where(F.col("surface") != F.col("alias_of"))
-    if not alias_edges.isEmpty():
-        canon_map = CC.canonical_mapping(alias_edges)
-        triples = CC.apply_canonicalization(triples, canon_map)
+    # no isEmpty() pre-check: it would cost a full upstream evaluation;
+    # canonical_mapping handles the empty case and apply on an empty
+    # broadcast map is a no-op.
+    canon_map = CC.canonical_mapping(alias_edges)
+    triples = CC.apply_canonicalization(triples, canon_map)
 
     return PipelineResult(
         mentions=mentions,
