@@ -251,6 +251,68 @@ def _q_graph_degree_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return G.top_k_by_degree(_edges_df(spark), 5)
 
 
+# Inline nodes table for the §2.5 filter-class queries (Q1/Q2/Q7/Q8/
+# Q9/Q10 shapes): hierarchy classes + a few learned/review rows.
+_NODE_ROWS = [
+    # (name, source, needs_review, confidence)
+    *[(c, "Baseline", False, None) for c in sorted({c for c, _ in HIERARCHY} | {"Thing"})],
+    ("wifi antenna", "learned_from_dataset", True, 0.5),
+    ("rf shield", "learned_from_dataset", True, 0.5),
+    ("copper trace", "learned_from_dataset", False, 0.8),
+    ("smd resistor", "learned_from_dataset", False, 0.9),
+]
+
+
+def _nodes_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(
+        _NODE_ROWS, "name string, source string, needs_review boolean, confidence double"
+    )
+
+
+def _node_values() -> str:
+    return ", ".join(
+        f"('{n}', '{s}', {str(r).upper()}, " + ("NULL" if c is None else f"CAST({c} AS DOUBLE)") + ")"
+        for n, s, r, c in _NODE_ROWS
+    )
+
+
+def _q_graph_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _nodes_df(spark).where(F.col("name") == "Resistor").select("name", "source")
+
+
+def _q_graph_substring_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _nodes_df(spark).where(F.lower(F.col("name")).contains("antenna")).select("name").orderBy("name")
+
+
+def _q_graph_attr_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _nodes_df(spark).where(F.col("source") == "learned_from_dataset")
+        .select("name", "needs_review").orderBy("name")
+    )
+
+
+def _q_graph_review_queue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _nodes_df(spark).where(F.col("needs_review"))
+        .select("name", F.coalesce("confidence", F.lit(0.75)).alias("confidence"))
+        .orderBy(F.col("confidence").desc(), F.col("name").asc()).limit(200)
+    )
+
+
+def _q_graph_rel_types_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = _edges_df(spark).unionByName(
+        spark.createDataFrame(
+            [("Antenna", "CONNECTEDTO", "Cable"), ("Resistor", "HASPART", "Cable")],
+            "src string, rel_type string, dst string",
+        )
+    )
+    return edges.select("rel_type").distinct().orderBy("rel_type")
+
+
+def _q_graph_ordered_listing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _nodes_df(spark).select("name", "source").orderBy(F.col("name").asc())
+
+
 def _q_graph_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ontology_learning_spark.operators import graph_ops as G
 
@@ -625,6 +687,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_shortest_path": _q_graph_shortest_path,
         "graph_redundant_edges": _q_graph_redundant_edges,
         "graph_taxonomic_split": _q_graph_taxonomic_split,
+        "graph_point_lookup": _q_graph_point_lookup,
+        "graph_substring_search": _q_graph_substring_search,
+        "graph_attr_filter": _q_graph_attr_filter,
+        "graph_review_queue": _q_graph_review_queue,
+        "graph_rel_types_distinct": _q_graph_rel_types_distinct,
+        "graph_ordered_listing": _q_graph_ordered_listing,
         # relational / analytics (§2.4)
         "rel_q1_pricing": _q_rel_q1_pricing,
         "rel_topk_customers": _q_rel_topk_customers,
@@ -809,6 +877,35 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n
             FROM e GROUP BY 1 ORDER BY kind
         """,
+        "graph_point_lookup": f"""
+            SELECT name, source FROM (VALUES {{nodes}}) n(name, source, needs_review, confidence)
+            WHERE name = 'Resistor'
+        """.replace("{nodes}", _node_values()),
+        "graph_substring_search": f"""
+            SELECT name FROM (VALUES {{nodes}}) n(name, source, needs_review, confidence)
+            WHERE lower(name) LIKE '%antenna%' ORDER BY name
+        """.replace("{nodes}", _node_values()),
+        "graph_attr_filter": f"""
+            SELECT name, needs_review FROM (VALUES {{nodes}}) n(name, source, needs_review, confidence)
+            WHERE source = 'learned_from_dataset' ORDER BY name
+        """.replace("{nodes}", _node_values()),
+        "graph_review_queue": f"""
+            SELECT name, COALESCE(confidence, CAST(0.75 AS DOUBLE)) AS confidence
+            FROM (VALUES {{nodes}}) n(name, source, needs_review, confidence)
+            WHERE needs_review ORDER BY confidence DESC, name ASC LIMIT 200
+        """.replace("{nodes}", _node_values()),
+        "graph_rel_types_distinct": f"""
+            WITH h(child, parent) AS (SELECT * FROM (VALUES {hier}) t(child, parent)),
+            e(rel_type) AS (
+              SELECT 'SUBCLASS_OF' FROM h
+              UNION ALL SELECT 'CONNECTEDTO' UNION ALL SELECT 'HASPART'
+            )
+            SELECT DISTINCT rel_type FROM e ORDER BY rel_type
+        """,
+        "graph_ordered_listing": f"""
+            SELECT name, source FROM (VALUES {{nodes}}) n(name, source, needs_review, confidence)
+            ORDER BY name ASC
+        """.replace("{nodes}", _node_values()),
         "kg_saturation": f"""
             WITH dm AS (
               SELECT DISTINCT d.doc_id AS doc_id, v.surface AS surface
