@@ -91,6 +91,35 @@ def concept_coverage(got_concepts: DataFrame, gold_concepts: DataFrame) -> DataF
     )
 
 
+def compare_threshold_configs(
+    spark,
+    docs: DataFrame,
+    gold_triples: DataFrame,
+    configs: dict[str, dict],
+) -> DataFrame:
+    """A13: run the pipeline once per threshold config and score each
+    against the gold set — the deterministic analogue of the
+    reference's per-model extraction comparison."""
+    from ..plans.pipeline import run_pipeline
+
+    rows = []
+    for name, th in configs.items():
+        res = run_pipeline(spark, docs, thresholds=th)
+        pr = gold_standard_eval(res.triples, gold_triples).collect()[0]
+        stats = res.decisions.agg(
+            F.count("*").alias("n"),
+            F.avg("confidence").alias("avg_conf"),
+        ).collect()[0]
+        rows.append((name, pr["tp"], pr["fp"], pr["fn"],
+                     pr["precision"], pr["recall"], pr["f1"],
+                     stats["n"], round(stats["avg_conf"], 6)))
+    return spark.createDataFrame(
+        rows,
+        "config string, tp bigint, fp bigint, fn bigint, precision double, "
+        "recall double, f1 double, n_concepts bigint, avg_confidence double",
+    )
+
+
 def review_queue(decisions: DataFrame, limit: int = 200) -> DataFrame:
     """A19: pending-review list — UNCERTAIN decisions with default
     confidence 0.75 when null, deterministic order, LIMIT."""
