@@ -6,6 +6,16 @@ The reference's LLM validation band (M8) is replaced by the
 deterministic token-set-containment / category-agreement tie-break
 (semantics.validate_similarity), expressed here with array functions so
 it stays JVM-side.
+
+Reference parity (behavior studied at /root/reference, no code copied):
+- decide            ~ src/ontology_extension_manager.py:368-421
+  (bands: no-match EXTEND 0.9 / >=0.999 MAP_EXACT / >=high validated /
+   >=medium UNCERTAIN 0.5 / else EXTEND 0.8)
+- M8 band           ~ src/ontology_extension_manager.py:423-486
+- route_tasks       ~ src/integrated_schema_pipeline.py:182-216
+- mapping_objects   ~ src/integrated_schema_pipeline.py:276-289
+- decision_stats    ~ src/integrated_schema_pipeline.py:310-327,
+                      src/data_models.py:76-83
 """
 
 from __future__ import annotations

@@ -137,9 +137,18 @@ def jaccard_verify(
     threshold: float = 0.7,
     shingle_n: int = 3,
 ) -> DataFrame:
-    """Exact word-shingle Jaccard on candidate pairs only."""
-    sh = df.select(
-        F.col(id_col).alias("id"), word_shingles(F.col(text_col), shingle_n).alias("sh")
+    """Exact word-shingle Jaccard on candidate pairs only. Shingles are
+    computed only for rows that appear in a candidate pair (semi-join
+    first) — the verify side should never rescan the full corpus."""
+    cand_ids = (
+        candidates.select(F.col("id_a").alias("id"))
+        .union(candidates.select(F.col("id_b").alias("id")))
+        .distinct()
+    )
+    sh = (
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_t"))
+        .join(F.broadcast(cand_ids), "id", "left_semi")
+        .select("id", word_shingles(F.col("_t"), shingle_n).alias("sh"))
     )
     j = (
         candidates.join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")

@@ -12,6 +12,12 @@ Spark-first shape:
 The spans column itself is never mutated — the per-row span-sequence
 invariant (kind, text, media_ref, order) holds trivially; tests assert
 it across the pipeline.
+
+Reference parity (behavior studied, no code copied): preprocessing
+src/data_loader.py:13-47; per-chunk concept extraction contract
+src/idea_extractor.py:63-124 (validity rules :49-61, stopwords :22-29,
+global dedup+sort :121); relation extraction src/relation_extractor.py:
+19-95 (dedup + all-keys-non-empty :85-95).
 """
 
 from __future__ import annotations

@@ -10,6 +10,12 @@ is a DataFrame plan over `nodes(name, ...)` / `edges(src, rel_type, dst)`:
   are localCheckpointed to cut lineage
 - degree / top-k / histograms → aggregations + windows
 - leaves / orphans / pruning → anti-joins
+
+Reference parity (behavior studied, no code copied): queries
+src/evaluation/QA_queries.md:1-310; degree/hierarchy/orphan audits
+src/evaluation/final_ontology_analyzer.py:32-127; top-k
+src/evaluation/top_k_evaluation.py:42-48; pruning
+src/curation/graph_cleaner.py:25-77.
 """
 
 from __future__ import annotations

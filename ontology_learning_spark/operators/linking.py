@@ -22,6 +22,12 @@ mirroring the reference's first-offer-wins dict insertion order
 src/ontology_extension_manager.py:489-499):
   0 embedding, 1 lexical_exact_normalized, 2 lexical_similar_normalized,
   3 technical_specs, 4 category_variant.
+
+Reference parity (behavior studied, no code copied): match orchestration
+src/ontology_extension_manager.py:225-249 (top-10 :249); embedding band
+:251-273; lexical exact/fuzzy :275-309 (ratio >=0.8 :301); technical
+:311-338 (total >=1.5 :328); category variant :340-366 (ratio >=0.4,
+confidence x0.7 :357-362); catalog load :90-141.
 """
 
 from __future__ import annotations
