@@ -405,7 +405,10 @@ def _q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     sum of boundary flags) — the batch form of session windowing."""
     e = spark.read.parquet(f"{sf_dir}/events.parquet").where(F.col("user_id") < 20)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    epoch = F.unix_timestamp(F.col("ts").cast("timestamp"))  # NTZ → session-UTC epoch
+    # Fractional epoch (microsecond precision), matching DuckDB epoch(ts):
+    # unix_timestamp() truncates to whole seconds, so a true gap of
+    # 1800.4s would be ==1800 here but >1800 in the oracle.
+    epoch = F.col("ts").cast("timestamp").cast("double")
     gap = epoch - F.lag(epoch).over(w)
     flagged = e.withColumn(
         "new_session", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
@@ -921,8 +924,8 @@ def oracle_sql() -> dict[str, str]:
               SELECT first_batch AS batch, COUNT(*) AS new_concepts FROM first_seen GROUP BY 1
             )
             SELECT batch, new_concepts,
-                   SUM(new_concepts) OVER (ORDER BY batch ROWS BETWEEN UNBOUNDED PRECEDING
-                       AND CURRENT ROW) AS cumulative_concepts
+                   CAST(SUM(new_concepts) OVER (ORDER BY batch ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS BIGINT) AS cumulative_concepts
             FROM per_batch ORDER BY batch
         """,
         "kg_confidence_topk": f"""
@@ -975,7 +978,7 @@ def oracle_sql() -> dict[str, str]:
                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
               FROM flagged
             )
-            SELECT user_id, MAX(session_id) AS n_sessions, COUNT(*) AS n_events
+            SELECT user_id, CAST(MAX(session_id) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
             FROM sess GROUP BY user_id
         """,
         "emb_pairwise_topk": """
