@@ -456,6 +456,8 @@ def _q_rel_q1_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_rel_topk_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ontology_learning_spark.functions.windows import ranked_topk
+
     o = spark.read.parquet(f"{sf_dir}/orders.parquet")
     c = spark.read.parquet(f"{sf_dir}/customer.parquet")
     agg = (
@@ -464,10 +466,10 @@ def _q_rel_topk_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(F.sum(F.col("o_totalprice").cast("decimal(28,6)")).cast("double"), 2).alias("revenue"),
              F.count("*").alias("n_orders"))
     )
-    w = Window.orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
-    return (
-        agg.withColumn("rnk", F.row_number().over(w)).where(F.col("rnk") <= 10)
-        .select("c_custkey", "c_name", "revenue", "n_orders", F.col("rnk").alias("rnk"))
+    # global top-10 via TakeOrderedAndProject + posexplode rank — the
+    # old unpartitioned row_number() moved every customer to one partition.
+    return ranked_topk(agg, "revenue", "c_custkey", 10, rank_col="rnk").select(
+        "c_custkey", "c_name", "revenue", "n_orders", "rnk"
     )
 
 

@@ -6,7 +6,7 @@ decisions, mentions) are produced once by the pipeline and reused.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
@@ -27,35 +27,58 @@ def conceptual_saturation(mentions: DataFrame, batch_size: int = 10) -> DataFram
     """A15: per batch of documents — new vs seen distinct concepts,
     cumulative total, rolling mean of new-concept count (window=10).
 
-    Deterministic batch id: dense_rank of doc_id // batch_size (the
-    reference shuffles randomly; we key on doc order for reproducibility).
+    Deterministic batch id: rank of doc_id // batch_size (the reference
+    shuffles randomly; we key on doc order for reproducibility).
+
+    Scale shape: the docs DIMENSION (distinct doc ids) is ranked with
+    the two-phase ``global_rank`` (range partition + local rank +
+    offsets) and the batch id joined back onto the mention pairs — no
+    unpartitioned window ever sees corpus-sized data. The per-batch
+    tail (cumulative + rolling) runs on batch-count-sized rows via
+    ``global_cumsum``; the rolling mean over the trailing 10 PRESENT
+    batch rows is derived from the cumulative sums by an equi self-join
+    on rank-10 (rows-frame semantics, window-free).
     """
-    doc_rank = Window.orderBy("doc_id")
-    with_batch = (
-        mentions.select("doc_id", "norm_surface").distinct()
-        .withColumn("doc_rank", F.dense_rank().over(doc_rank))
-        .withColumn("batch", ((F.col("doc_rank") - 1) / batch_size).cast("int"))
-    )
+    from ..functions.windows import global_cumsum, global_rank
+
+    pairs = mentions.select("doc_id", "norm_surface").distinct()
+    docs = global_rank(pairs.select("doc_id").distinct(), "doc_id", "doc_rank")
+    batches = docs.withColumn(
+        "batch", ((F.col("doc_rank") - 1) / batch_size).cast("int")
+    ).drop("doc_rank")
+    with_batch = pairs.join(batches, "doc_id")
     first_seen = with_batch.groupBy("norm_surface").agg(F.min("batch").alias("first_batch"))
     per_batch = first_seen.groupBy("first_batch").agg(F.count("*").alias("new_concepts"))
-    w_cum = Window.orderBy("first_batch").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    w_roll = Window.orderBy("first_batch").rowsBetween(-9, 0)
-    return per_batch.select(
+
+    cum = global_cumsum(per_batch, "first_batch", "new_concepts", "cumulative_concepts")
+    ranked = global_rank(cum, "first_batch", "row_rank")
+    # rolling sum over the last 10 present rows = cum(r) - cum(r-10)
+    prev = ranked.select(
+        (F.col("row_rank") + 10).alias("row_rank"),
+        F.col("cumulative_concepts").alias("cum_prev"),
+    )
+    rolled = ranked.join(prev, "row_rank", "left").select(
         F.col("first_batch").alias("batch"),
         "new_concepts",
-        F.sum("new_concepts").over(w_cum).alias("cumulative_concepts"),
-        F.round(F.avg("new_concepts").over(w_roll), 4).alias("rolling_mean_new"),
-    ).orderBy("batch")
+        "cumulative_concepts",
+        F.round(
+            (F.col("cumulative_concepts") - F.coalesce("cum_prev", F.lit(0)))
+            / F.least(F.col("row_rank"), F.lit(10)),
+            4,
+        ).alias("rolling_mean_new"),
+    )
+    return rolled.orderBy("batch")
 
 
 def confidence_ranking(decisions: DataFrame, k: int) -> DataFrame:
-    """A6: top-k decisions by confidence (desc, concept asc tiebreak)."""
-    w = Window.orderBy(F.col("confidence").desc(), F.col("concept").asc())
-    return (
-        decisions.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("rank", "concept", "decision", "confidence")
-    )
+    """A6: top-k decisions by confidence (desc, concept asc tiebreak).
+    TakeOrderedAndProject + posexplode rank — no global window (the
+    old row_number()<=k moved ALL decisions to one partition)."""
+    from ..functions.windows import ranked_topk
+
+    return ranked_topk(
+        decisions.select("concept", "decision", "confidence"), "confidence", "concept", k
+    ).select("rank", "concept", "decision", "confidence")
 
 
 def gold_standard_eval(got_triples: DataFrame, gold_triples: DataFrame) -> DataFrame:

@@ -28,15 +28,18 @@ def brute_force_topk(
     id_col: str = "vec_id",
 ) -> DataFrame:
     """Exact cosine top-k against one query vector."""
+    from ..functions.windows import ranked_topk
+
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     scored = df.select(
         F.col(id_col), C.cosine(F.col(vec_col).cast("array<double>"), q).alias("cosine_sim")
     )
     # orderBy+limit compiles to TakeOrderedAndProject (per-partition
-    # top-k then driver merge) — no single-partition global window.
-    top = scored.orderBy(F.col("cosine_sim").desc(), F.col(id_col).asc()).limit(k)
-    w = Window.orderBy(F.col("cosine_sim").desc(), F.col(id_col).asc())
-    return top.withColumn("rank", F.row_number().over(w))  # window over k rows only
+    # top-k then driver merge); rank attached via sorted-array
+    # posexplode — zero WindowExec in the plan.
+    return ranked_topk(scored, "cosine_sim", id_col, k).select(
+        id_col, "cosine_sim", "rank"
+    )
 
 
 def pairwise_topk(

@@ -66,6 +66,46 @@ def test_global_topk_uses_take_ordered(spark):
     assert "TakeOrderedAndProject" in plan2
 
 
+def _unpartitioned_windows(plan: str) -> list[str]:
+    """WindowExec lines with no partition spec (the `], [` separator
+    appears once for unpartitioned windows, twice for partitioned)."""
+    out = []
+    for line in plan.splitlines():
+        s = line.strip().lstrip("+-*(0123456789) :").strip()
+        if s.startswith("Window ") and s.count("], [") < 2:
+            out.append(s)
+    return out
+
+
+def test_no_unpartitioned_windows(spark):
+    """The operators flagged in round 1 (global row_number/cumsum) must
+    not move data to a single unpartitioned WindowExec."""
+    from ontology_learning_spark.operators import analytics as A
+    from ontology_learning_spark.operators.simsearch import brute_force_topk
+
+    dec = spark.createDataFrame(
+        [("a", "EXTEND", 0.9), ("b", "MAP_EXACT", 1.0), ("c", "UNCERTAIN", 0.5)],
+        "concept string, decision string, confidence double",
+    )
+    assert not _unpartitioned_windows(_plan(A.confidence_ranking(dec, 5)))
+
+    mentions = spark.createDataFrame(
+        [(1, "x"), (1, "y"), (2, "x"), (3, "z")], "doc_id bigint, norm_surface string"
+    )
+    assert not _unpartitioned_windows(_plan(A.conceptual_saturation(mentions, 2)))
+
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])], "vec_id int, embedding array<float>"
+    )
+    assert not _unpartitioned_windows(_plan(brute_force_topk(emb, [1.0, 0.0], k=1)))
+
+    import __spark_entry__ as entry_mod
+
+    assert not _unpartitioned_windows(
+        _plan(entry_mod.queries()["rel_topk_customers"](spark, SF_DIR))
+    )
+
+
 def test_preprocess_is_all_jvm(spark, docs_df):
     """Span concat + preprocessing must be JVM expressions (regexp
     chains codegen; higher-order lambdas run in the JVM interpreter) —
