@@ -4,9 +4,12 @@ entry(spark)  — flagship KG pipeline over the sf0.001 documents table
                 re-shaped to the interleaved-span model.
 queries()     — one named DataFrame-producing callable per implemented
                 operator family (SURVEY.md §2).
-oracle_sql()  — DuckDB-equivalent SQL for every SQL-expressible query;
-                non-SQL-expressible ops (LSH, SimHash, CC at scale,
-                pipeline end-to-end) are registered rows-only.
+oracle_sql()  — DuckDB-equivalent SQL for EVERY registered query (47/47
+                since round 2). Sketch/ANN operators are oracled
+                against exact SQL twins, valid because their recall on
+                the driver corpus is 1 by construction or by measured
+                miss-probability — each query's docstring carries the
+                argument.
 
 Column-name/alias discipline: every computed column is aliased
 identically in the Spark plan and the SQL text; floats are rounded
@@ -98,6 +101,24 @@ def _catalog_values() -> str:
 
 def _alias_values() -> str:
     return ", ".join(f"('{s}', '{t}')" for s, t in ALIASES)
+
+
+def _surface_word_values() -> str:
+    """(surface, base word) rows: gazetteer + plural variants, mapping
+    back to the normalized concept — the SQL twin of extraction +
+    normalize_name over this vocabulary (no plural is ambiguous)."""
+    from ontology_learning_spark.functions.extraction_rules import surface_variants
+
+    pairs = sorted((s, w) for w in VOCAB for s in surface_variants(w))
+    return ", ".join(f"('{s}', '{w}')" for s, w in pairs)
+
+
+def _hexbyte(col: str, i: int) -> str:
+    """DuckDB expression: i-th byte (0-based) of an md5 hex string."""
+    return (
+        f"((strpos('0123456789abcdef', substr({col}, {2 * i + 1}, 1)) - 1) * 16"
+        f" + (strpos('0123456789abcdef', substr({col}, {2 * i + 2}, 1)) - 1))"
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -599,10 +620,59 @@ def _q_emb_label_centroid_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("label")
 
 
-# --- rows-only (non-SQL-expressible) ---------------------------------------
+# --- embedding ANN over a planted near-neighborhood ------------------------
+# The driver embeddings are 64-dim random vectors (max pairwise cosine
+# ~0.51), so near-dup / ANN queries over the raw table are vacuous (0
+# rows) and un-oracle-able. We augment the table IN-QUERY with 10
+# deterministic near-neighbors of vec 0 (planted j perturbs coordinate
+# j by +0.2); the oracle SQL builds the IDENTICAL augmented table, so
+# both engines see the same input. float32→double casts are exact and
+# +0.2 is the same double on both sides — values match bit-for-bit.
+
+EMB_DIM = 64
+N_PLANTED = 10
+PLANT_BASE_ID = 1_000_000
+PLANT_EPS = 0.2
+
+
+def _aug_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    base = emb.where(F.col("vec_id") == 0).select(F.col("embedding").alias("bv"))
+    js = spark.range(1, N_PLANTED + 1).select(F.col("id").cast("int").alias("j"))
+    planted = js.crossJoin(F.broadcast(base)).select(
+        (F.lit(PLANT_BASE_ID) + F.col("j")).cast("bigint").alias("vec_id"),
+        F.expr(
+            f"transform(sequence(1, {EMB_DIM}), "
+            f"i -> element_at(bv, i) + CASE WHEN i = j THEN {PLANT_EPS} "
+            f"ELSE CAST(0.0 AS DOUBLE) END)"
+        ).alias("embedding"),
+    )
+    return emb.unionByName(planted)
+
+
+_AUG_SQL = f"""
+            WITH aug AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings
+              UNION ALL
+              SELECT CAST({PLANT_BASE_ID} + j AS BIGINT) AS vec_id,
+                     list_transform(range(1, {EMB_DIM + 1}),
+                         i -> b.bv[i] + CASE WHEN i = j THEN {PLANT_EPS} ELSE 0.0 END) AS embedding
+              FROM (SELECT CAST(embedding AS DOUBLE[]) AS bv FROM embeddings WHERE vec_id = 0) b
+              CROSS JOIN (SELECT unnest(range(1, {N_PLANTED + 1})) AS j) js
+            )
+"""
+
+
+# --- sketch-based dedup (oracled against exact twins) -----------------------
 
 
 def _q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidates → exact Jaccard verify. Oracle = the exact
+    all-pairs shingle join: equal because every true pair in the driver
+    corpus has J>=0.9, where per-pair LSH miss probability at 8 bands
+    of r=4 is (1-0.9^4)^8 ~ 2e-4 (verified: 25/25 found)."""
     from ontology_learning_spark.operators.dedup import ngram_jaccard_pairs
 
     return ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.5).select(
@@ -611,37 +681,49 @@ def _q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dups. The 4x16-bit pigeonhole blocking is EXACT for
+    hamming<=3 (recall 1 by construction), so the oracle recomputes the
+    md5-based simhash bit-for-bit in SQL and brute-force joins."""
     from ontology_learning_spark.operators.dedup import simhash_near_dups
 
     return simhash_near_dups(_docs(spark, sf_dir), max_hamming=3)
 
 
 def _q_emb_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded-LSH near-dup pairs over the planted neighborhood. All
+    true pairs have cosine >= 0.99 where per-pair miss probability is
+    ~1e-9, so the LSH output equals the exact all-pairs oracle;
+    recall at the 0.9 threshold itself is pytest-asserted."""
     from ontology_learning_spark.operators.simsearch import embedding_near_dups
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return embedding_near_dups(emb, threshold=0.9, n_planes=8).select(
+    aug = _aug_embeddings(spark, sf_dir)
+    return embedding_near_dups(aug, threshold=0.9, bands=8, rows_per_band=6).select(
         "id_a", "id_b", F.round("cosine_sim", 4).alias("cosine_sim")
     )
 
 
 def _q_emb_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ontology_learning_spark.operators.simsearch import lsh_topk
+    """ANN top-10: exact on this corpus because every true top-10
+    neighbor is genuinely near the query (the planted neighborhood —
+    the regime LSH targets); the oracle is brute-force top-10."""
+    from ontology_learning_spark.operators.simsearch import lsh_banded_topk
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    qvec = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
-    return lsh_topk(emb, qvec, k=10, n_planes=10).select(
+    aug = _aug_embeddings(spark, sf_dir)
+    qvec = [float(x) for x in aug.where(F.col("vec_id") == 0).first()["embedding"]]
+    return lsh_banded_topk(aug, qvec, k=10, bands=8, rows_per_band=6).select(
         "vec_id", F.round("cosine_sim", 4).alias("cosine_sim")
     )
 
 
 def _q_emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN top-10 over the planted neighborhood (see lsh_topk):
+    the near cluster is always probed, so output == brute force."""
     from ontology_learning_spark.operators.simsearch import ivf_topk, train_ivf_centroids
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    cents = train_ivf_centroids(emb, n_centroids=8, n_iters=3)
-    qvec = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
-    return ivf_topk(emb, qvec, cents, k=10, n_probe=3).select(
+    aug = _aug_embeddings(spark, sf_dir)
+    cents = train_ivf_centroids(aug, n_centroids=8, n_iters=3)
+    qvec = [float(x) for x in aug.where(F.col("vec_id") == 0).first()["embedding"]]
+    return ivf_topk(aug, qvec, cents, k=10, n_probe=3).select(
         "vec_id", F.round("cosine_sim", 4).alias("cosine_sim")
     )
 
@@ -656,6 +738,14 @@ def _q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_kg_pipeline_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full pipeline (extract → link → decide) over driver documents.
+
+    Oracle note: over this fixed gazetteer+catalog the per-concept
+    match outcome is corpus-INDEPENDENT (embeddings/fuzzy scores depend
+    only on (concept, inferred category); the 6 non-catalog vocab words
+    clear no threshold, catalog words match exactly at 1.0), so the SQL
+    twin verifies the corpus-dependent parts — which vocabulary words
+    were extracted/normalized — plus the decision join."""
     from ontology_learning_spark.plans.pipeline import run_pipeline
 
     docs = _spans_docs(spark, sf_dir)
@@ -718,7 +808,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_topk": _q_emb_topk,
         "emb_pairwise_topk": _q_emb_pairwise_topk,
         "emb_label_centroid_norms": _q_emb_label_centroid_norms,
-        # rows-only (no oracle: LSH/SimHash/pipeline are not ANSI-SQL)
+        # sketch/ANN ops (oracled against exact SQL twins — see docstrings)
         "minhash_near_dups": _q_minhash_near_dups,
         "simhash_near_dups": _q_simhash_near_dups,
         "emb_near_dups": _q_emb_near_dups,
@@ -1119,6 +1209,115 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]),
                      (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)) DESC,
                      vec_id ASC
+            LIMIT 10
+        """,
+        "minhash_near_dups": """
+            WITH toks AS (
+              SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t FROM documents
+            ), sh AS (
+              SELECT doc_id,
+                     list_distinct(CASE WHEN len(t) >= 3 THEN
+                       list_transform(range(1, len(t) - 1),
+                                      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+                     ELSE [] END) AS sh
+              FROM toks
+            ), nz AS (
+              SELECT * FROM sh WHERE len(sh) > 0
+            ), pairs AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     len(list_intersect(a.sh, b.sh))
+                       / CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE) AS j
+              FROM nz a JOIN nz b ON a.doc_id < b.doc_id
+            )
+            SELECT id_a, id_b, ROUND(j, 4) AS jaccard FROM pairs WHERE j >= 0.5
+        """,
+        "simhash_near_dups": f"""
+            WITH toks AS (
+              SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+              FROM documents
+            ), th AS (
+              SELECT doc_id, md5(tok) AS h FROM toks WHERE tok <> ''
+            ), bits AS (
+              SELECT doc_id, bb.b AS b,
+                     CASE WHEN (
+                          ((((strpos('0123456789abcdef', substr(h, 2 * (bb.b // 8) + 1, 1)) - 1) * 16
+                             + (strpos('0123456789abcdef', substr(h, 2 * (bb.b // 8) + 2, 1)) - 1))
+                            >> (7 - (bb.b % 8))) & 1) = 1
+                     ) THEN 1 ELSE -1 END AS contrib
+              FROM th CROSS JOIN (SELECT unnest(range(0, 64)) AS b) bb
+            ), acc AS (
+              SELECT doc_id, b, SUM(contrib) AS s FROM bits GROUP BY doc_id, b
+            ), sigs AS (
+              SELECT d.doc_id,
+                     COALESCE(SUM(CASE WHEN a.s > 0 THEN
+                       CASE WHEN a.b = 63 THEN CAST(-9223372036854775808 AS BIGINT)
+                            ELSE (CAST(1 AS BIGINT) << CAST(a.b AS INT)) END
+                     ELSE 0 END), 0) AS sig
+              FROM documents d LEFT JOIN acc a ON d.doc_id = a.doc_id
+              GROUP BY d.doc_id
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+            FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.sig, b.sig)) <= 3
+        """,
+        "multimodal_decode": f"""
+            WITH m AS (
+              SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                     'img://' || CAST(doc_id AS VARCHAR) || '/0' AS media_ref,
+                     md5('img://' || CAST(doc_id AS VARCHAR) || '/0') AS h
+              FROM documents
+            )
+            SELECT doc_id, media_ref,
+                   CAST(64 + ({_hexbyte('h', 0)} % 192) AS INT) AS width,
+                   CAST(64 + ({_hexbyte('h', 1)} % 192) AS INT) AS height,
+                   CAST(1 AS INT) AS n_frames,
+                   ROUND({_hexbyte('h', 3)} / 255.0, 4) AS mean_luma
+            FROM m
+        """,
+        "kg_pipeline_decisions": f"""
+            WITH hits AS (
+              SELECT v.word AS concept
+              FROM documents d CROSS JOIN (VALUES {{sw}}) v(surface, word)
+              WHERE length(regexp_extract_all(d.text, '\\b' || v.surface || '\\b')) > 0
+              GROUP BY 1
+            )
+            SELECT h.concept AS concept,
+                   CASE WHEN c.name IS NOT NULL THEN 'MAP_EXACT' ELSE 'EXTEND' END AS decision,
+                   c.name AS target,
+                   CAST(CASE WHEN c.name IS NOT NULL THEN 1.0 ELSE 0.9 END AS DOUBLE) AS confidence
+            FROM hits h LEFT JOIN (VALUES {_catalog_values()}) c(name, category)
+                 ON h.concept = c.name
+            ORDER BY concept
+        """.replace("{sw}", _surface_word_values()),
+        "emb_near_dups": f"""
+            {_AUG_SQL},
+            pairs AS (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                     list_cosine_similarity(a.embedding, b.embedding) AS cs
+              FROM aug a JOIN aug b ON a.vec_id < b.vec_id
+            )
+            SELECT id_a, id_b, ROUND(cs, 4) AS cosine_sim
+            FROM pairs WHERE cs >= 0.9
+        """,
+        "emb_lsh_topk": f"""
+            {_AUG_SQL}
+            SELECT vec_id,
+                   ROUND(list_cosine_similarity(embedding,
+                         (SELECT embedding FROM aug WHERE vec_id = 0)), 4) AS cosine_sim
+            FROM aug
+            ORDER BY list_cosine_similarity(embedding,
+                     (SELECT embedding FROM aug WHERE vec_id = 0)) DESC, vec_id ASC
+            LIMIT 10
+        """,
+        "emb_ivf_topk": f"""
+            {_AUG_SQL}
+            SELECT vec_id,
+                   ROUND(list_cosine_similarity(embedding,
+                         (SELECT embedding FROM aug WHERE vec_id = 0)), 4) AS cosine_sim
+            FROM aug
+            ORDER BY list_cosine_similarity(embedding,
+                     (SELECT embedding FROM aug WHERE vec_id = 0)) DESC, vec_id ASC
             LIMIT 10
         """,
         "emb_label_centroid_norms": """

@@ -82,8 +82,75 @@ def test_lsh_topk_recalls_near_neighbor(emb_df):
 
 
 def test_embedding_near_dups(emb_df):
-    pairs = {(r["id_a"], r["id_b"]) for r in SS.embedding_near_dups(emb_df, threshold=0.95, n_planes=6).collect()}
+    pairs = {(r["id_a"], r["id_b"]) for r in SS.embedding_near_dups(emb_df, threshold=0.95).collect()}
     assert (0, 1) in pairs
+
+
+@pytest.fixture(scope="module")
+def planted_emb_df(spark):
+    """40 random 32-dim vectors + 12 planted near-dups (cos >= ~0.97)."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    base = rng.randn(40, 32)
+    rows = [(i, [float(x) for x in base[i]]) for i in range(40)]
+    for j in range(12):
+        v = base[j] + 0.05 * rng.randn(32)
+        rows.append((100 + j, [float(x) for x in v]))
+    return spark.createDataFrame(rows, "vec_id int, embedding array<float>").cache()
+
+
+def _exact_pairs(df, threshold):
+    import numpy as np
+
+    rows = df.collect()
+    V = {r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64) for r in rows}
+    out = set()
+    ids = sorted(V)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            c = V[a] @ V[b] / (np.linalg.norm(V[a]) * np.linalg.norm(V[b]))
+            if c >= threshold:
+                out.add((a, b))
+    return out
+
+
+def test_embedding_near_dups_recall(planted_emb_df):
+    """Banded OR-construction must recover the full planted-pair set
+    (round-1's single AND band returned 0 rows at ~28% recall)."""
+    truth = _exact_pairs(planted_emb_df, 0.95)
+    assert len(truth) >= 10  # the plant worked
+    got = {(r["id_a"], r["id_b"])
+           for r in SS.embedding_near_dups(planted_emb_df, threshold=0.95).collect()}
+    assert got == truth  # recall 1.0 on this corpus, no false positives
+
+
+def test_lsh_banded_topk_exact_on_near_neighborhood(planted_emb_df):
+    q = [float(x) for x in planted_emb_df.where("vec_id = 0").first()["embedding"]]
+    got = [r["vec_id"] for r in SS.lsh_banded_topk(planted_emb_df, q, k=2).collect()]
+    assert got[0] == 0 and got[1] == 100  # itself, then its planted near-dup
+
+
+def test_ivf_training_wide_dim(spark):
+    """Lloyd update must stay long-format: training a d=512 index
+    would blow up the round-1 one-agg-column-per-dimension plan."""
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    centers = rng.randn(4, 512) * 5
+    rows = []
+    for i in range(64):
+        rows.append((i, [float(x) for x in centers[i % 4] + rng.randn(512)]))
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+    cents = SS.train_ivf_centroids(df, n_centroids=4, n_iters=2, seed=1)
+    assert cents.shape == (4, 512)
+    assigned = SS.assign_ivf(df, cents)
+    # cluster purity: vectors from the same true center share a cluster
+    groups = {}
+    for r in assigned.collect():
+        groups.setdefault(r["vec_id"] % 4, set()).add(r["ivf_cluster"])
+    pure = sum(1 for s in groups.values() if len(s) == 1)
+    assert pure >= 3
 
 
 def test_pairwise_topk(emb_df, spark):
