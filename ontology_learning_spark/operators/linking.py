@@ -114,7 +114,11 @@ def prepare_catalog(spark: SparkSession, rows: list[dict]) -> DataFrame:
     cat = spark.createDataFrame(
         prepared, schema=CATALOG_SCHEMA + ", embedding array<double>"
     )
-    return cat.withColumn("block_keys", block_keys_col(F.col("norm_name")))
+    # ONE partition, not defaultParallelism: the catalog is a broadcast
+    # dimension — 32 near-empty partitions cost 32 task launches on
+    # every scan (measured ~0.4s/stage on the serial tail, several
+    # scans per pipeline run).
+    return cat.coalesce(1).withColumn("block_keys", block_keys_col(F.col("norm_name")))
 
 
 def prepare_concepts(concepts: DataFrame) -> DataFrame:
@@ -201,6 +205,9 @@ def _blocked_pairs(concepts: DataFrame, catalog: DataFrame) -> DataFrame:
             F.explode("block_keys").alias("bk"),
         )
     )
+    # distinct BEFORE scoring: pairs sharing several block keys would
+    # otherwise hit the Python seq_ratio UDF once per shared key —
+    # difflib per extra row costs far more than this dedup exchange.
     return left.join(right, "bk").drop("bk").distinct()
 
 

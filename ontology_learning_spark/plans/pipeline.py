@@ -68,7 +68,15 @@ def run_pipeline(
     mentions, doc_triples, docs_text = E.extract_pipeline(docs, surfaces)
     mentions = mentions.cache()  # reused: linking + context + fan-back
 
-    concepts = E.distinct_concepts(mentions)
+    # The concept DIMENSION is |vocabulary|-sized, orders of magnitude
+    # below the corpus: give its stages (embed UDF, blocked joins,
+    # windows, decide) a proportionate partition count instead of the
+    # corpus-grade default the distinct() cache would otherwise pin
+    # (32 near-empty partitions → 32 task launches + Python worker
+    # spins per downstream stage — the measured serial tail). On a
+    # cluster, size by |vocab| / ~50k concepts per partition.
+    vocab_parts = max(2, spark.sparkContext.defaultParallelism // 8)
+    concepts = E.distinct_concepts(mentions).repartition(vocab_parts)
     prepped = L.prepare_concepts(concepts).cache()
 
     # E7/E9: concept context → technical props (feeds the M4 band)
@@ -90,10 +98,11 @@ def run_pipeline(
         C.normalize_name(F.col("parent_class")).alias("obj"),
     )
 
+    # No dedup here: apply_canonicalization ends in the (subj,pred,obj)
+    # dropDuplicates anyway — deduping twice costs a full extra shuffle
+    # of the triple set, and the joins in between are broadcast (narrow).
     extracted_triples = doc_triples.select("subj", "pred", "obj")
-    triples = routed_triples.unionByName(extracted_triples).dropDuplicates(
-        ["subj", "pred", "obj"]
-    )
+    triples = routed_triples.unionByName(extracted_triples)
 
     # M13: canonicalize through MAP_* alias edges (connected components
     # resolves chains; the reference's single-hop sameAs is the
