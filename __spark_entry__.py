@@ -281,6 +281,25 @@ _NODE_ROWS = [
     ("rf shield", "learned_from_dataset", True, 0.5),
     ("copper trace", "learned_from_dataset", False, 0.8),
     ("smd resistor", "learned_from_dataset", False, 0.9),
+    ("smd capacitor", "learned_from_dataset", False, 0.9),
+    ("cable assembly", "learned_from_dataset", False, 0.85),
+    ("mystery part", "learned_from_dataset", True, 0.4),
+]
+
+# Non-taxonomic + learned-taxonomy edges exercising every QA corpus
+# pattern (PARTOF, RELATEDTO bridges, review hotspots, orphans).
+_QA_EXTRA_EDGES = [
+    ("Antenna", "CONNECTEDTO", "Cable"),
+    ("Resistor", "HASPART", "Cable"),
+    ("ChipAntenna", "RELATEDTO", "Electromechanical"),
+    ("Transistor", "RELATEDTO", "Antenna"),
+    ("copper trace", "PARTOF", "IntegratedCircuit"),
+    ("cable assembly", "CONNECTEDTO", "Connector"),
+    ("wifi antenna", "SUBCLASS_OF", "Antenna"),
+    ("rf shield", "SUBCLASS_OF", "RFComponent"),
+    ("copper trace", "SUBCLASS_OF", "Interconnect"),
+    ("smd resistor", "SUBCLASS_OF", "Resistor"),
+    ("smd capacitor", "SUBCLASS_OF", "Capacitor"),
 ]
 
 
@@ -620,6 +639,105 @@ def _q_emb_label_centroid_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("label")
 
 
+# --- QA corpus (Q1-Q29 views) + A18 evaluator -------------------------------
+
+
+def _qa_nodes_df(spark: SparkSession) -> DataFrame:
+    return _nodes_df(spark).withColumn(
+        "uri", F.concat(F.lit("https://example.org/elec/"), F.col("name"))
+    )
+
+
+def _qa_edges_df(spark: SparkSession) -> DataFrame:
+    return _edges_df(spark).unionByName(
+        spark.createDataFrame(_QA_EXTRA_EDGES, "src string, rel_type string, dst string")
+    )
+
+
+def _q_qa_corpus_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A18: run all 29 reference QA queries (as SQL views) over the
+    inline graph; per-query status + row count. The oracle re-runs the
+    same 29 queries (DuckDB dialect, recursive CTEs) on the same
+    VALUES graph — a full cross-engine check of the query corpus."""
+    from ontology_learning_spark.operators import qa_views as Q
+
+    names = Q.create_qa_views(spark, _qa_nodes_df(spark), _qa_edges_df(spark))
+    return Q.evaluate_query_corpus(spark, names).orderBy("query")
+
+
+def _qa_oracle() -> str:
+    from ontology_learning_spark.operators.qa_views import qa_corpus_sql
+
+    node_vals = ", ".join(
+        f"('{n}', '{s}', {str(r).upper()}, "
+        + ("NULL" if c is None else f"CAST({c} AS DOUBLE)")
+        + f", 'https://example.org/elec/{n}')"
+        for n, s, r, c in _NODE_ROWS
+    )
+    edge_vals = ", ".join(
+        f"('{a}', 'SUBCLASS_OF', '{b}')" for a, b in HIERARCHY
+    ) + ", " + ", ".join(f"('{a}', '{r}', '{b}')" for a, r, b in _QA_EXTRA_EDGES)
+    parts = [
+        f"SELECT '{name}' AS query, (SELECT COUNT(*) FROM ({sql})) AS n_rows"
+        for name, sql in sorted(qa_corpus_sql("duckdb").items())
+    ]
+    body = "\nUNION ALL\n".join(parts)
+    return f"""
+        WITH ont_nodes AS (
+          SELECT * FROM (VALUES {node_vals})
+          t(name, source, needs_review, confidence, uri)
+        ), ont_edges AS (
+          SELECT * FROM (VALUES {edge_vals}) t(src, rel_type, dst)
+        )
+        SELECT query,
+               CASE WHEN n_rows > 0 THEN 'successful' ELSE 'empty_result' END AS status,
+               n_rows
+        FROM ({body}) ORDER BY query
+    """
+
+
+# --- Schema.org / JSON-LD validation ----------------------------------------
+
+
+def _q_schema_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-LD objects built from the documents table with planted
+    defects (empty names, bad @context, malformed URIs, undefined
+    namespaces, missing recommended props), pushed through the
+    Catalyst validator. The oracle derives the same per-object
+    outcomes arithmetically from the construction rules."""
+    from ontology_learning_spark.operators.validation import validate_jsonld
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    name = F.when(F.col("doc_id") % 7 == 0, F.lit("")).otherwise(
+        F.concat(F.lit("doc-"), F.col("doc_id"))
+    )
+    ctx = (
+        F.when(F.col("doc_id") % 3 == 0,
+               F.lit('{"@vocab":"https://schema.org/","elec":"https://example.org/electrical/"}'))
+        .when(F.col("doc_id") % 3 == 1, F.lit('"https://schema.org/"'))
+        .otherwise(F.lit('"https://example.com/"'))
+    )
+    addtype = F.when(F.col("doc_id") % 5 == 0, F.lit("not a uri")).otherwise(
+        F.concat(F.lit("http://www.productontology.org/id/doc-"), F.col("doc_id"))
+    )
+    elec = F.when(F.col("doc_id") % 2 == 0, F.lit(',"elec:impedance":"50 Ohm"')).otherwise(F.lit(""))
+    manuf = F.when(F.col("doc_id") % 4 != 0, F.lit(',"manufacturer":"acme"')).otherwise(F.lit(""))
+    json_ld = F.concat(
+        F.lit('{"@context":'), ctx,
+        F.lit(',"@type":"Product","name":"'), name,
+        F.lit('","category":"Component","description":"d"'),
+        manuf,
+        F.lit(',"additionalType":"'), addtype, F.lit('"'),
+        elec,
+        F.lit("}"),
+    )
+    v = validate_jsonld(d.select(json_ld.alias("json_ld")))
+    return v.select(
+        "object_id", "schema_type", "n_errors", "n_warnings",
+        "n_recommendations", "is_valid",
+    )
+
+
 # --- embedding ANN over a planted near-neighborhood ------------------------
 # The driver embeddings are 64-dim random vectors (max pairwise cosine
 # ~0.51), so near-dup / ANN queries over the raw table are vacuous (0
@@ -808,6 +926,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_topk": _q_emb_topk,
         "emb_pairwise_topk": _q_emb_pairwise_topk,
         "emb_label_centroid_norms": _q_emb_label_centroid_norms,
+        # QA corpus evaluator (A18) + schema validation
+        "qa_corpus_eval": _q_qa_corpus_eval,
+        "schema_validation": _q_schema_validation,
         # sketch/ANN ops (oracled against exact SQL twins — see docstrings)
         "minhash_near_dups": _q_minhash_near_dups,
         "simhash_near_dups": _q_simhash_near_dups,
@@ -1210,6 +1331,21 @@ def oracle_sql() -> dict[str, str]:
                      (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)) DESC,
                      vec_id ASC
             LIMIT 10
+        """,
+        "qa_corpus_eval": _qa_oracle(),
+        "schema_validation": """
+            SELECT CASE WHEN doc_id % 7 = 0 THEN ''
+                        ELSE 'doc-' || CAST(doc_id AS VARCHAR) END AS object_id,
+                   'Product' AS schema_type,
+                   CAST(CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END AS INT) AS n_errors,
+                   CAST((CASE WHEN doc_id % 3 = 2 THEN 1 ELSE 0 END)
+                      + (CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END)
+                      + (CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END)
+                      + (CASE WHEN doc_id % 2 = 0 AND doc_id % 3 <> 0 THEN 1 ELSE 0 END)
+                     AS INT) AS n_warnings,
+                   CAST(CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END AS INT) AS n_recommendations,
+                   doc_id % 7 <> 0 AS is_valid
+            FROM documents
         """,
         "minhash_near_dups": """
             WITH toks AS (

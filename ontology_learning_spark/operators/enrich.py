@@ -74,5 +74,29 @@ def schema_objects(decided: DataFrame, props: DataFrame) -> DataFrame:
                  C.slugify(F.col("concept"))).alias("additionalType"),
         elec_props.alias("elec_properties"),
     )
-    return joined.select("concept", obj.alias("schema_object"),
-                         F.to_json(obj).alias("json_ld"))
+    # Exported JSON-LD mirrors the reference shape (schema_org_relation_
+    # extractor.py:245-262): @context carries @vocab + the elec namespace
+    # whenever namespaced props exist, and elec:* keys sit at top level.
+    # to_json drops null fields, so absent props vanish from the JSON.
+    has_elec = F.size(F.map_keys(elec_props)) > 0
+    ctx = F.when(
+        has_elec,
+        F.to_json(F.struct(
+            F.lit("https://schema.org/").alias("@vocab"),
+            F.lit("https://example.org/electrical/").alias("elec"),
+        )),
+    ).otherwise(F.lit('"https://schema.org/"'))
+    body = F.to_json(F.struct(
+        F.lit("Product").alias("@type"),
+        F.col("concept").alias("name"),
+        F.col("category").alias("category"),
+        F.concat(F.lit("http://www.productontology.org/id/"),
+                 C.slugify(F.col("concept"))).alias("additionalType"),
+        F.col("frequency").alias("elec:frequency"),
+        F.col("impedance").alias("elec:impedance"),
+        F.col("voltage").alias("elec:voltage"),
+        F.col("connector").alias("elec:connector"),
+        F.col("mounting").alias("elec:mounting"),
+    ))
+    json_ld = F.concat(F.lit('{"@context":'), ctx, F.lit(","), F.substring(body, 2, 2_000_000))
+    return joined.select("concept", obj.alias("schema_object"), json_ld.alias("json_ld"))
