@@ -95,6 +95,11 @@ def canonical_mapping(alias_edges: DataFrame, small_threshold: int = SMALL_ALIAS
     oracle), skipping ~4 iterations x 3 shuffles of fixed overhead.
     Above it, the iterative min-label DataFrame loop runs distributed.
     """
+    # Self-edges out FIRST so both paths share one contract: the
+    # distributed path derives sink representatives from the surface
+    # set, and a (x, x) edge would wrongly demote x from sink status
+    # (the small-path oracle already filters self-pairs internally).
+    alias_edges = alias_edges.where(F.col("surface") != F.col("alias_of"))
     # limit(k+1)+collect instead of count()+collect(): one job decides
     # the branch AND fetches the edges when small.
     probe = alias_edges.limit(small_threshold + 1).collect()

@@ -60,8 +60,12 @@ def decide(best: DataFrame, thresholds: dict | None = None,
         .otherwise(F.lit(S.EXTEND))
     )
 
+    # Same null guard as the decision cascade: a row with a score but a
+    # null best_match must take the no-match branch in BOTH expressions
+    # (unreachable via best_matches today, but direct callers could
+    # otherwise get decision=EXTEND with a score-derived confidence).
     confidence = (
-        F.when(score.isNull(), F.lit(0.9))
+        F.when(score.isNull() | F.col("best_match").isNull(), F.lit(0.9))
         .when(score >= 0.999, score)
         .when(score >= th["high_similarity"],
               F.lit(0.85) if enable_validation else F.lit(0.5))

@@ -228,8 +228,17 @@ TECH_PROPS = ["frequency", "impedance", "voltage", "connector", "mounting"]
 def technical_matches(props: DataFrame, catalog: DataFrame) -> DataFrame:
     """M4: spec-based matches. Only concepts/catalog rows with >=2
     non-null props can clear the >=1.5 total bar, so both sides are
-    prefiltered before the broadcast cross; the matcher arithmetic
-    (M4a-e) runs vectorized via the shared semantics functions."""
+    prefiltered. The catalog side (dimension-sized, like the embedding
+    band) is pre-parsed ONCE driver-side into numpy arrays; each Arrow
+    batch of concepts is then scored against ALL catalog rows with
+    numpy outer operations — numeric props (frequency-range overlap,
+    impedance/voltage ratio bands) never touch per-pair Python. Only
+    the connector/mounting synonym band falls back to the shared
+    semantics matcher, and only for the (rare) pairs where both sides
+    carry that prop. Replaces the round-1 per-pair itertuples loop
+    (VERDICT.md #10); parity contract: semantics.technical_similarity
+    (ref src/ontology_extension_manager.py:311-338, behavior studied)."""
+    import numpy as np
     import pandas as pd
 
     def _n_props(df, cols):
@@ -245,22 +254,93 @@ def technical_matches(props: DataFrame, catalog: DataFrame) -> DataFrame:
     right = catalog.where(_n_props(catalog, TECH_PROPS) >= 2).select(
         F.col("name").alias("candidate"), *[F.col(p).alias(f"r_{p}") for p in TECH_PROPS]
     )
-    pairs = left.crossJoin(F.broadcast(right))
+    cat_rows = right.collect()  # dimension-sized, same contract as embedding band
+
+    def _freq_arr(vals):
+        out = np.full((len(vals), 2), np.nan)
+        for i, v in enumerate(vals):
+            if v:
+                r = S._extract_freq_range(v)
+                if r:
+                    out[i] = r
+        return out
+
+    def _num_arr(vals):
+        out = np.full(len(vals), np.nan)
+        for i, v in enumerate(vals):
+            if v:
+                n = S._first_number(v)
+                if n is not None:
+                    out[i] = n
+        return out
+
+    c_names = np.array([r["candidate"] for r in cat_rows])
+    c_freq = _freq_arr([r["r_frequency"] for r in cat_rows])
+    c_imp = _num_arr([r["r_impedance"] for r in cat_rows])
+    c_volt = _num_arr([r["r_voltage"] for r in cat_rows])
+    c_conn = [r["r_connector"] for r in cat_rows]
+    c_mount = [r["r_mounting"] for r in cat_rows]
+    R = len(cat_rows)
+
+    def _ratio_band(lv, cv, near_score):
+        """(L,R) sims: equal → 1.0; within 10% → near_score; else 0."""
+        a = lv[:, None]
+        b = cv[None, :]
+        with np.errstate(invalid="ignore", divide="ignore"):
+            rel = np.abs(a - b) / np.maximum(np.abs(a), np.abs(b))
+        s = np.where(a == b, 1.0, np.where(rel <= 0.1, near_score, 0.0))
+        return np.where(np.isnan(a) | np.isnan(b), 0.0, s)
 
     out_schema = "concept string, candidate string, score double"
 
     def _run(batches):
         for pdf in batches:
-            recs = []
-            for r in pdf.itertuples(index=False):
-                new = {p: getattr(r, f"l_{p}") for p in TECH_PROPS}
-                old = {p: getattr(r, f"r_{p}") for p in TECH_PROPS}
-                sim = S.technical_similarity(new, old)
-                if sim is not None:
-                    recs.append((r.concept, r.candidate, sim))
-            yield pd.DataFrame(recs, columns=["concept", "candidate", "score"])
+            L = len(pdf)
+            if L == 0 or R == 0:
+                continue
+            l_freq = _freq_arr(pdf["l_frequency"].tolist())
+            l_imp = _num_arr(pdf["l_impedance"].tolist())
+            l_volt = _num_arr(pdf["l_voltage"].tolist())
 
-    scored = pairs.mapInPandas(_run, out_schema)
+            lo = np.maximum(l_freq[:, 0][:, None], c_freq[None, :, 0])
+            hi = np.minimum(l_freq[:, 1][:, None], c_freq[None, :, 1])
+            span = (np.maximum(l_freq[:, 1][:, None], c_freq[None, :, 1])
+                    - np.minimum(l_freq[:, 0][:, None], c_freq[None, :, 0]))
+            with np.errstate(invalid="ignore", divide="ignore"):
+                overlap = np.where(span > 0, (hi - lo) / span, 1.0)
+            s_freq = np.where(np.isnan(lo) | np.isnan(hi) | (lo > hi), 0.0, overlap)
+
+            s_imp = _ratio_band(l_imp, c_imp, 0.9)
+            s_volt = _ratio_band(l_volt, c_volt, 0.8)
+
+            s_conn = np.zeros((L, R))
+            s_mount = np.zeros((L, R))
+            for band, l_vals, c_vals, fn in (
+                (s_conn, pdf["l_connector"].tolist(), c_conn, S.match_connector),
+                (s_mount, pdf["l_mounting"].tolist(), c_mount, S.match_mounting),
+            ):
+                for i, a in enumerate(l_vals):
+                    if not a:
+                        continue
+                    for k, b in enumerate(c_vals):
+                        if b:
+                            band[i, k] = fn(a, b)
+
+            total = np.zeros((L, R))
+            n = np.zeros((L, R), dtype=np.int64)
+            for s in (s_freq, s_imp, s_volt, s_conn, s_mount):
+                keep = s > 0.7
+                total += np.where(keep, s, 0.0)
+                n += keep
+            ok = (total >= 1.5) & (n > 0)
+            li, ki = np.nonzero(ok)
+            yield pd.DataFrame({
+                "concept": pdf["concept"].to_numpy()[li],
+                "candidate": c_names[ki],
+                "score": total[li, ki] / n[li, ki],
+            })
+
+    scored = left.mapInPandas(_run, out_schema)
     return scored.select(
         "concept", "candidate", "score",
         F.lit(3).alias("method_rank"), F.lit("technical_specs").alias("match_type"),

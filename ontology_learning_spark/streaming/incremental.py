@@ -13,6 +13,14 @@ runs the SAME extraction operators, and appends mentions exactly-once
 processes whatever is new and returns; calling it again after more
 files land picks up only the delta — no reprocessing, mirroring the
 manifest semantics at file granularity.
+
+Exactly-once: foreachBatch alone is at-least-once (a crash between the
+sink write and the checkpoint commit replays the batch), so the sink
+writes each batch to a batch_id-scoped subdirectory with OVERWRITE —
+a replayed batch rewrites the same directory instead of appending
+duplicates, making the write idempotent and the end-to-end result
+exactly-once. Readers consume ``output_dir/batch_id=*`` as one
+partitioned dataset.
 """
 
 from __future__ import annotations
@@ -40,7 +48,9 @@ def run_incremental_extraction(
 
     def _process(batch_df, batch_id: int) -> None:
         mentions, _, _ = E.extract_pipeline(batch_df, surfaces)
-        mentions.write.mode("append").parquet(output_dir)
+        # idempotent per batch: overwrite the batch-scoped directory so
+        # a checkpoint-replayed batch cannot duplicate rows
+        mentions.write.mode("overwrite").parquet(f"{output_dir}/batch_id={batch_id}")
 
     q = (
         stream.writeStream.foreachBatch(_process)

@@ -115,3 +115,47 @@ def test_block_keys():
     assert "chip" in S.block_keys("chip antenna")
     assert S.block_keys("") == []
     assert "resi" in S.block_keys("resistor")
+
+
+def test_technical_matches_vectorized_parity(spark):
+    """The numpy-vectorized M4 band must reproduce the scalar
+    semantics.technical_similarity on every pair of a mixed grid
+    (parseable/unparseable/partial/synonym/near-miss values)."""
+    from ontology_learning_spark.operators import linking as L
+
+    concepts = [
+        ("c1", "2.4 GHz", "50 Ohm", None, None, None),
+        ("c2", "2.4-5.8 GHz", "55 Ohm", "5 V", None, None),
+        ("c3", None, "50 Ohm", "5 V", "SMA", "smd"),
+        ("c4", "bogus", "junk", "5.5 V", "bnc", "through hole"),
+        ("c5", "900 MHz", None, "12 V", "sma", "surface mount"),
+    ]
+    catalog = [
+        ("k1", "2.4 GHz", "50 Ohm", "5 V", None, None),
+        ("k2", "2-6 GHz", "52 Ohm", None, "sub miniature a", "smt"),
+        ("k3", None, None, "5 V", "bayonet neill-concelman", "tht"),
+    ]
+    cols = "frequency string, impedance string, voltage string, connector string, mounting string"
+    props = spark.createDataFrame(concepts, "concept string, " + cols)
+    cat = spark.createDataFrame(catalog, "name string, " + cols)
+
+    got = {
+        (r["concept"], r["candidate"]): r["score"]
+        for r in L.technical_matches(props, cat).collect()
+    }
+    want = {}
+    for c in concepts:
+        new = dict(zip(["frequency", "impedance", "voltage", "connector", "mounting"], c[1:]))
+        n_new = sum(1 for v in new.values() if v)
+        if n_new < 2:
+            continue
+        for k in catalog:
+            old = dict(zip(["frequency", "impedance", "voltage", "connector", "mounting"], k[1:]))
+            if sum(1 for v in old.values() if v) < 2:
+                continue
+            s = S.technical_similarity(new, old)
+            if s is not None:
+                want[(c[0], k[0])] = s
+    assert set(got) == set(want)
+    for key, v in want.items():
+        assert abs(got[key] - v) < 1e-12, (key, got[key], v)
