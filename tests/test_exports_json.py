@@ -63,3 +63,37 @@ def test_disjointness_violations(spark):
     )
     v = EX.disjointness_violations(edges, [("PassiveComponent", "ActiveComponent")]).collect()
     assert [r["name"] for r in v] == ["Resistor"]
+
+
+def test_subclass_cycles_and_consistency_report(spark):
+    from ontology_learning_spark.operators import exports as EX
+
+    edges = spark.createDataFrame(
+        [
+            # clean branch
+            ("Resistor", "SUBCLASS_OF", "PassiveComponent"),
+            ("PassiveComponent", "SUBCLASS_OF", "ElectronicComponent"),
+            # planted 3-cycle with a chain leading in and out
+            ("pre", "SUBCLASS_OF", "a"),
+            ("a", "SUBCLASS_OF", "b"),
+            ("b", "SUBCLASS_OF", "c"),
+            ("c", "SUBCLASS_OF", "a"),
+            ("c", "SUBCLASS_OF", "post"),
+            # non-taxonomic edge must be ignored
+            ("x", "RELATEDTO", "x"),
+        ],
+        "src string, rel_type string, dst string",
+    )
+    cyc = {r["name"] for r in EX.subclass_cycles(edges).collect()}
+    assert cyc == {"a", "b", "c"}
+
+    rep = EX.consistency_report(edges, [("PassiveComponent", "a")])
+    rows = {(r["issue_type"], r["subject"]) for r in rep.collect()}
+    assert ("subclass_cycle", "a") in rows
+    assert all(t in ("subclass_cycle", "disjoint_class_violation") for t, _ in rows)
+
+    clean = spark.createDataFrame(
+        [("Resistor", "SUBCLASS_OF", "PassiveComponent")],
+        "src string, rel_type string, dst string",
+    )
+    assert EX.subclass_cycles(clean).count() == 0
