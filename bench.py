@@ -43,6 +43,7 @@ BENCH_QUERIES = [
     "rel_events_cumsum",
     "graph_descendants",
     "multimodal_decode",
+    "schema_validation",
 ]
 
 

@@ -47,14 +47,22 @@ def exact_dup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
 
 
 def word_shingles(col, n: int = 3):
-    """Distinct word n-grams as an array column (pure Catalyst)."""
+    """Distinct word n-grams as an array column (pure Catalyst).
+
+    Shape matters: referencing the tokenized array inside a per-element
+    lambda (the round-1 form indexed `toks` via element_at per shingle)
+    gets the regex split INLINED into the lambda by projection collapse
+    — re-tokenizing the whole document once per shingle, O(tokens²)
+    regex work per doc (measured 20s of the 21s minhash bench time at
+    sf0.1). arrays_zip of n shifted slices evaluates the split O(n)
+    times per ROW instead, and the zip/transform are per-element cheap."""
     toks = F.split(F.lower(F.trim(col)), r"\s+")
-    k = F.size(toks) - (n - 1)
-    idx = F.sequence(F.lit(0), F.greatest(k - 1, F.lit(0)))
+    k = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    zipped = F.arrays_zip(*[F.slice(toks, j + 1, k) for j in range(n)])
     grams = F.transform(
-        idx, lambda i: F.concat_ws(" ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)])
+        zipped, lambda s: F.concat_ws(" ", *[s[str(j)] for j in range(n)])
     )
-    return F.array_distinct(F.when(k > 0, grams).otherwise(F.array()))
+    return F.array_distinct(F.when(F.size(toks) >= n, grams).otherwise(F.array()))
 
 
 # Universal-hash constants for derived minhashes: minhash_i over a

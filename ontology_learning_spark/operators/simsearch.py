@@ -238,8 +238,22 @@ def embedding_near_dups(
         cand.join(vecs.select(F.col("id").alias("id_a"), F.col("v").alias("va")), "id_a")
         .join(vecs.select(F.col("id").alias("id_b"), F.col("v").alias("vb")), "id_b")
     )
+
+    # Verify with one numpy row-wise dot per Arrow batch: the candidate
+    # set is ~bands/2^rows of all pairs, and the interpreted
+    # higher-order-function cosine was the measured bottleneck there.
+    @F.pandas_udf(T.DoubleType())
+    def cos_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+        A = np.stack([np.asarray(x, dtype=np.float64) for x in a])
+        B = np.stack([np.asarray(x, dtype=np.float64) for x in b])
+        na = np.linalg.norm(A, axis=1)
+        nb = np.linalg.norm(B, axis=1)
+        denom = na * nb
+        dots = np.einsum("ij,ij->i", A, B)
+        return pd.Series(np.where(denom == 0, 0.0, dots / np.where(denom == 0, 1.0, denom)))
+
     return (
-        pairs.withColumn("cosine_sim", C.cosine(F.col("va"), F.col("vb")))
+        pairs.withColumn("cosine_sim", cos_udf(F.col("va"), F.col("vb")))
         .where(F.col("cosine_sim") >= threshold)
         .select("id_a", "id_b", "cosine_sim")
     )
