@@ -22,15 +22,23 @@ def concept_context(mentions: DataFrame, docs_text: DataFrame) -> DataFrame:
     """E7: first N docs mentioning each concept, concatenated and capped.
 
     mentions: (doc_id, norm_surface, ...); docs_text: (doc_id, clean_text).
-    Window by concept → deterministic doc order → collect_list capped.
+
+    Join order matters at scale: the top-N-docs window runs on BARE
+    (concept, doc_id) pairs — 16 bytes/row — and only the <=N·|vocab|
+    surviving rows fetch document text, via a broadcast of the id set
+    into the corpus-side join. (Round 1 joined the full text in FIRST,
+    shipping every document body through the distinct + window
+    shuffles.) The broadcast hint is right while N·|vocab| stays
+    dimension-sized; for extreme vocabularies drop the hint and AQE
+    picks the join side.
     """
-    hit_docs = (
-        mentions.select("norm_surface", "doc_id").distinct()
-        .join(docs_text, "doc_id")
-    )
+    pairs = mentions.select("norm_surface", "doc_id").distinct()
     w = Window.partitionBy("norm_surface").orderBy("doc_id")
-    top = hit_docs.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= CONTEXT_CHUNKS)
-    ctx = top.groupBy("norm_surface").agg(
+    top = pairs.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= CONTEXT_CHUNKS)
+    hit_docs = docs_text.join(
+        F.broadcast(top.select("norm_surface", "doc_id", "rn")), "doc_id"
+    )
+    ctx = hit_docs.groupBy("norm_surface").agg(
         F.concat_ws(" ", F.array_sort(F.collect_list(F.struct("rn", "clean_text")))["clean_text"]).alias("_ctx_raw")
     )
     return ctx.select(

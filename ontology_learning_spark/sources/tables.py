@@ -79,7 +79,12 @@ class StageStore:
         return self.spark.read.parquet(self._path(stage))
 
     def materialize(self, stage: str, df_fn, partition_by: list[str] | None = None) -> DataFrame:
-        """Run df_fn() and commit unless already committed (resume)."""
+        """Run df_fn() and commit unless already committed (resume).
+
+        The manifest row carries per-PARTITION lineage (north-rule
+        contract): row counts per partition value for partitioned
+        writes, else per output file — enough to audit which partition
+        a row came from and re-verify any single partition."""
         if self.is_done(stage):
             return self.read(stage)
         t0 = time.time()
@@ -89,7 +94,19 @@ class StageStore:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(self._path(stage))
         out = self.spark.read.parquet(self._path(stage))
-        self.manifest.commit(self.run_id, stage, out.count(), (time.time() - t0) * 1000)
+        if partition_by:
+            parts = out.groupBy(*partition_by).count().collect()
+            lineage = {
+                "|".join(str(r[c]) for c in partition_by): r["count"] for r in parts
+            }
+        else:
+            files = out.groupBy(F.input_file_name().alias("f")).count().collect()
+            lineage = {Path(r["f"]).name: r["count"] for r in files}
+        total = sum(lineage.values())
+        self.manifest.commit(
+            self.run_id, stage, total, (time.time() - t0) * 1000,
+            extra={"partitions": lineage},
+        )
         return out
 
 
