@@ -33,8 +33,23 @@ def concept_context(mentions: DataFrame, docs_text: DataFrame) -> DataFrame:
     picks the join side.
     """
     pairs = mentions.select("norm_surface", "doc_id").distinct()
+    # Two-phase salted min-N: head concepts appear in most documents,
+    # so a single window keyed by concept alone puts one partition-
+    # sized sort on one core (measured: 4 tasks x 19.5s at 80k docs,
+    # all other cores idle). Phase 1 ranks within (concept, salt-of-32)
+    # buckets — balanced by construction — and keeps <=N per bucket;
+    # phase 2 ranks the <=32N survivors per concept. Identical output:
+    # the N globally-smallest doc_ids survive their buckets.
+    salt = F.pmod(F.xxhash64(F.col("doc_id").cast("string")), F.lit(32))
+    w1 = Window.partitionBy("norm_surface", "_salt").orderBy("doc_id")
+    pre = (
+        pairs.withColumn("_salt", salt)
+        .withColumn("_rn1", F.row_number().over(w1))
+        .where(F.col("_rn1") <= CONTEXT_CHUNKS)
+        .drop("_salt", "_rn1")
+    )
     w = Window.partitionBy("norm_surface").orderBy("doc_id")
-    top = pairs.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= CONTEXT_CHUNKS)
+    top = pre.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= CONTEXT_CHUNKS)
     hit_docs = docs_text.join(
         F.broadcast(top.select("norm_surface", "doc_id", "rn")), "doc_id"
     )

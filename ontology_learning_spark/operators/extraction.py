@@ -33,9 +33,11 @@ from ..functions import extraction_rules as X
 from ..functions import semantics as S
 
 # Output schema of the single extraction pass: mentions and triples are
-# carried as arrays and exploded afterwards (one Python stage, two outputs).
+# carried as arrays and exploded afterwards; clean_text rides along so
+# consumers that need document text (concept context) never rescan the
+# corpus — the whole pipeline makes exactly ONE pass over raw documents.
 _EXTRACT_SCHEMA = (
-    "doc_id string, "
+    "doc_id string, clean_text string, "
     "mentions array<struct<surface:string, char_offset:int>>, "
     "triples array<struct<subj:string, pred:string, obj:string>>"
 )
@@ -68,15 +70,17 @@ def extract(df: DataFrame, surfaces: tuple[str, ...]) -> DataFrame:
     def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         matcher = X.get_matcher(surfaces)  # built once per executor
         for pdf in batches:
-            out_doc, out_m, out_t = [], [], []
+            out_doc, out_txt, out_m, out_t = [], [], [], []
             for doc_id, text in zip(pdf["doc_id"], pdf["clean_text"]):
                 mentions = matcher.find(text or "")
                 triples = X.find_relations(text or "", surfaces)
                 out_doc.append(doc_id)
+                out_txt.append(text)
                 out_m.append([(m.surface, m.char_offset) for m in mentions])
                 out_t.append(triples)
             yield pd.DataFrame(
-                {"doc_id": out_doc, "mentions": out_m, "triples": out_t}
+                {"doc_id": out_doc, "clean_text": out_txt,
+                 "mentions": out_m, "triples": out_t}
             )
 
     return df.select("doc_id", "clean_text").mapInPandas(_run, _EXTRACT_SCHEMA)
@@ -132,13 +136,21 @@ def extract_pipeline(
     """documents(doc_id, spans) → (mentions, doc-level triples,
     preprocessed docs (doc_id, clean_text)).
 
-    The mapInPandas output is cached: it feeds BOTH the mentions and
-    triples tables, and the Python extraction pass is the single most
-    expensive narrow stage — without the cache it executes twice.
+    The mapInPandas output is EAGERLY localCheckpointed, not lazily
+    cached: it feeds several consumers (mentions, triples, context
+    pairs), and a lazy cache lets concurrent downstream stages race
+    ahead of cache population inside one job — event-log profiling
+    showed the whole Python extraction pass executing twice (~2x the
+    corpus-scale core-seconds). The eager checkpoint materializes the
+    pass exactly once and cuts the lineage for every consumer.
     """
     prepped = preprocess(concat_text_spans(docs)).select("doc_id", "spans", "clean_text")
-    extracted = extract(prepped, surfaces).cache()
-    return mentions_table(extracted), triples_table(extracted), prepped.select("doc_id", "clean_text")
+    extracted = extract(prepped, surfaces).localCheckpoint(eager=True)
+    return (
+        mentions_table(extracted),
+        triples_table(extracted),
+        extracted.select("doc_id", "clean_text"),
+    )
 
 
 __all__ = [

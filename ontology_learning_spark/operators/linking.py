@@ -101,6 +101,8 @@ def prepare_catalog(spark: SparkSession, rows: list[dict]) -> DataFrame:
     the job (the concept side always uses the distributed UDF path).
     A corpus-scale catalog would flip to prepare_concepts-style UDFs.
     """
+    cols = ["name", "norm_name", "category", "description", "frequency",
+            "impedance", "voltage", "connector", "mounting", "source", "embedding"]
     prepared = [
         {
             **{k: r.get(k) for k in (
@@ -111,8 +113,13 @@ def prepare_catalog(spark: SparkSession, rows: list[dict]) -> DataFrame:
         }
         for r in rows
     ]
+    # pandas + Arrow, NOT a plain python list: local-list createDataFrame
+    # builds a pickled RDD whose first materialization cold-starts a
+    # Python worker (~4s measured on the critical path); the Arrow path
+    # converts JVM-side.
+    pdf = pd.DataFrame(prepared, columns=cols)
     cat = spark.createDataFrame(
-        prepared, schema=CATALOG_SCHEMA + ", embedding array<double>"
+        pdf, schema=CATALOG_SCHEMA + ", embedding array<double>"
     )
     # ONE partition, not defaultParallelism: the catalog is a broadcast
     # dimension — 32 near-empty partitions cost 32 task launches on
@@ -150,6 +157,15 @@ def embedding_matches(concepts: DataFrame, catalog: DataFrame, low: float) -> Da
     m_norm[m_norm == 0] = 1.0
     Mn = (M.T / m_norm).T
 
+    # Per-concept cap inside the band: hashed embeddings are weakly
+    # selective (most concept x catalog pairs clear the low bar —
+    # measured 3.9M offer rows at 46k concepts), but only a band's own
+    # top-10 by (score desc, candidate asc) can ever reach find_matches'
+    # global top-10: every kept offer outranks every dropped one under
+    # the same tie-break, so the cap is output-invariant and the M6
+    # shuffle sees 10 rows per concept instead of |catalog|.
+    name_order = np.argsort(names, kind="stable")
+
     def _run(batches):
         for pdf in batches:
             if pdf.empty:
@@ -159,7 +175,15 @@ def embedding_matches(concepts: DataFrame, catalog: DataFrame, low: float) -> Da
             v_norm[v_norm == 0] = 1.0
             Vn = (V.T / v_norm).T
             Sc = np.round(Vn @ Mn.T, S.SCORE_DECIMALS)
-            ci, ki = np.nonzero(Sc >= low)
+            # columns pre-sorted by candidate name; stable argsort by
+            # -score then yields (score desc, name asc) per row
+            Sc_by_name = Sc[:, name_order]
+            order = np.argsort(-Sc_by_name, axis=1, kind="stable")
+            s_ord = np.take_along_axis(Sc_by_name, order, axis=1)
+            valid = s_ord >= low
+            keep = valid & (np.cumsum(valid, axis=1) <= 10)
+            ci, pos = np.nonzero(keep)
+            ki = name_order[order[ci, pos]]
             yield pd.DataFrame(
                 {
                     "concept": pdf["concept"].to_numpy()[ci],
@@ -211,10 +235,24 @@ def _blocked_pairs(concepts: DataFrame, catalog: DataFrame) -> DataFrame:
     return left.join(right, "bk").drop("bk").distinct()
 
 
+def _ratio_upper_bound(a, b):
+    """Sound upper bound on difflib ratio: matches <= min(len_a, len_b)
+    so ratio <= 2*min/(len_a+len_b) (difflib's own real_quick_ratio).
+    Evaluating it JVM-side keeps pairs that cannot clear the band
+    threshold out of the Python UDF entirely — the difflib scoring was
+    the dominant Python time at corpus scale (vocabulary grows with
+    the corpus)."""
+    la, lb = F.length(a), F.length(b)
+    return 2.0 * F.least(la, lb) / (la + lb)
+
+
 def lexical_fuzzy_matches(blocked: DataFrame) -> DataFrame:
     """M3-fuzzy: difflib ratio >= 0.8 on normalized names (blocked pairs,
     excluding exact equals which M3-exact already owns)."""
-    pairs = blocked.where(F.col("concept") != F.col("cand_norm"))
+    pairs = blocked.where(
+        (F.col("concept") != F.col("cand_norm"))
+        & (_ratio_upper_bound(F.col("concept"), F.col("cand_norm")) >= 0.8)
+    )
     scored = pairs.withColumn("score", seq_ratio_udf(F.col("concept"), F.col("cand_norm")))
     return scored.where(F.col("score") >= 0.8).select(
         "concept", "candidate", "score", F.lit(2).alias("method_rank"),
@@ -350,8 +388,9 @@ def technical_matches(props: DataFrame, catalog: DataFrame) -> DataFrame:
 def category_matches(blocked: DataFrame) -> DataFrame:
     """M5: same category and ratio(concept, lower(candidate)) >= 0.4."""
     pairs = blocked.where(
-        F.lower(F.coalesce(F.col("category"), F.lit(""))) ==
-        F.lower(F.coalesce(F.col("cand_category"), F.lit("")))
+        (F.lower(F.coalesce(F.col("category"), F.lit(""))) ==
+         F.lower(F.coalesce(F.col("cand_category"), F.lit(""))))
+        & (_ratio_upper_bound(F.col("concept"), F.lower(F.col("candidate"))) >= 0.4)
     )
     scored = pairs.withColumn(
         "score", seq_ratio_udf(F.col("concept"), F.lower(F.col("candidate")))

@@ -66,7 +66,12 @@ def run_pipeline(
     catalog = L.prepare_catalog(spark, catalog_rows).cache()
 
     mentions, doc_triples, docs_text = E.extract_pipeline(docs, surfaces)
-    mentions = mentions.cache()  # reused: linking + context + fan-back
+    # Eager checkpoint, not lazy cache: mentions feed THREE consumers
+    # (concepts, context pairs, fan-back), and AQE runs consumer stages
+    # concurrently — a lazy cache gets raced and the explode subtree
+    # recomputed per stage (measured in event logs). One cheap pass
+    # over the checkpointed extraction output materializes it.
+    mentions = mentions.localCheckpoint(eager=True)
 
     # The concept DIMENSION is |vocabulary|-sized, orders of magnitude
     # below the corpus: give its stages (embed UDF, blocked joins,
@@ -75,9 +80,15 @@ def run_pipeline(
     # (32 near-empty partitions → 32 task launches + Python worker
     # spins per downstream stage — the measured serial tail). On a
     # cluster, size by |vocab| / ~50k concepts per partition.
-    vocab_parts = max(2, spark.sparkContext.defaultParallelism // 8)
+    # Eager-checkpointed for the same race reason: FIVE match bands
+    # consume prepped concurrently. parallelism//2 (not //8): the
+    # fuzzy/category difflib bands run Python work proportional to the
+    # blocked-pair count (which grows with corpus vocabulary — part
+    # numbers are distinct concepts), and band parallelism is capped by
+    # prepped's partition count — //8 left 60 core-seconds on 4 tasks.
+    vocab_parts = max(2, spark.sparkContext.defaultParallelism // 2)
     concepts = E.distinct_concepts(mentions).repartition(vocab_parts)
-    prepped = L.prepare_concepts(concepts).cache()
+    prepped = L.prepare_concepts(concepts).localCheckpoint(eager=True)
 
     # E7/E9: concept context → technical props (feeds the M4 band)
     context = EN.concept_context(mentions, docs_text)
@@ -87,7 +98,11 @@ def run_pipeline(
     best = L.best_matches(matches, catalog)
     best_full = prepped.select("concept", "category").join(best, "concept", "left")
 
-    decided = D.decide(best_full, th).cache()
+    # Eager checkpoint: the whole linking chain (context → props →
+    # bands → argmax → cascade) materializes exactly once, here; the
+    # downstream canonicalization probe and the triples job read a
+    # vocabulary-sized table instead of re-walking the chain.
+    decided = D.decide(best_full, th).localCheckpoint(eager=True)
     tasks = D.route_tasks(decided)
     mappings = D.mapping_objects(decided)
 

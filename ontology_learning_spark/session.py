@@ -39,6 +39,11 @@ def build_session(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # Size-based coalescing assumes bytes ∝ CPU; mention/concept
+        # shuffles here are tiny in bytes but sort/UDF-heavy per row,
+        # and the 1MB default was collapsing them to ~4 partitions
+        # (capping those stages at 4 cores regardless of cluster size).
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "256k")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
