@@ -1384,11 +1384,14 @@ def oracle_sql() -> dict[str, str]:
             ), acc AS (
               SELECT doc_id, b, SUM(contrib) AS s FROM bits GROUP BY doc_id, b
             ), sigs AS (
+              -- CAST the SUM: DuckDB SUM(BIGINT) -> HUGEINT, and
+              -- xor on 128-bit values gives mixed-sign pairs 64
+              -- phantom sign bits (bit_count 2 became 66)
               SELECT d.doc_id,
-                     COALESCE(SUM(CASE WHEN a.s > 0 THEN
+                     CAST(COALESCE(SUM(CASE WHEN a.s > 0 THEN
                        CASE WHEN a.b = 63 THEN CAST(-9223372036854775808 AS BIGINT)
                             ELSE (CAST(1 AS BIGINT) << CAST(a.b AS INT)) END
-                     ELSE 0 END), 0) AS sig
+                     ELSE 0 END), 0) AS BIGINT) AS sig
               FROM documents d LEFT JOIN acc a ON d.doc_id = a.doc_id
               GROUP BY d.doc_id
             )
