@@ -111,8 +111,15 @@ def canonical_mapping(alias_edges: DataFrame, small_threshold: int = SMALL_ALIAS
         spark = alias_edges.sparkSession
         if not mapping:
             return spark.createDataFrame([], "surface string, canonical string")
+        # pandas + Arrow, not a plain Python list: local-list
+        # createDataFrame builds a pickled RDD whose first scan
+        # cold-starts a Python worker on the critical path; the Arrow
+        # path converts JVM-side (same reasoning as prepare_catalog).
+        import pandas as pd
+
         return spark.createDataFrame(
-            list(mapping.items()), "surface string, canonical string"
+            pd.DataFrame(sorted(mapping.items()), columns=["surface", "canonical"]),
+            schema="surface string, canonical string",
         )
 
     edges = alias_edges.select(

@@ -52,10 +52,23 @@ def disjointness_violations(edges: DataFrame, disjoint_pairs: list[tuple[str, st
 def subclass_cycles(edges: DataFrame, max_iter: int = 64) -> DataFrame:
     """A17 second axiom class: SUBCLASS_OF cycles (a taxonomy must be a
     DAG; any cycle makes every member class unsatisfiable under the
-    reasoner). Kahn-style double peel as a DataFrame loop: iteratively
-    drop sinks (no outgoing edge within the remaining set), then
-    iteratively drop sources — whatever survives both peels lies ON a
-    cycle. Each round is one small anti-join; lineage cut per round."""
+    reasoner).
+
+    Exact membership — node ON a cycle ⟺ node ∈ Reach(node) — in two
+    phases:
+
+    1. **trim**: iteratively drop sinks (no outgoing edge within the
+       remaining set), then sources. This removes the DAG bulk cheaply
+       but OVER-approximates cycle membership: a node on a path
+       connecting two distinct cycles (A→B→A, B→M, M→C, C→D→C) has
+       in- and out-degree ≥ 1 and survives the peel without lying on
+       any cycle.
+    2. **exact closure on the surviving core**: the trimmed remainder
+       is the anomalous cycle-connected region — tiny by construction
+       in a taxonomy, where cycles are data bugs — so an iterative
+       (src, dst) transitive-closure join is safe there; cycle nodes
+       are exactly those with a (n, n) reachability pair.
+    """
     e = (
         edges.where(F.col("rel_type") == "SUBCLASS_OF")
         .select("src", "dst").distinct().localCheckpoint()
@@ -73,17 +86,103 @@ def subclass_cycles(edges: DataFrame, max_iter: int = 64) -> DataFrame:
             if pruned.count() == e.count():
                 break
             e = pruned
+    reach = e.localCheckpoint()
+    for _ in range(max_iter):
+        nxt = (
+            reach.alias("r")
+            .join(e.alias("g"), F.col("r.dst") == F.col("g.src"))
+            .select(F.col("r.src").alias("src"), F.col("g.dst").alias("dst"))
+        )
+        new_reach = reach.union(nxt).distinct().localCheckpoint()
+        if new_reach.count() == reach.count():
+            break
+        reach = new_reach
     return (
-        e.select(F.col("src").alias("name"))
-        .union(e.select(F.col("dst").alias("name")))
+        reach.where(F.col("src") == F.col("dst"))
+        .select(F.col("src").alias("name"))
         .distinct()
     )
 
 
-def consistency_report(edges: DataFrame, disjoint_pairs: list[tuple[str, str]]) -> DataFrame:
+#: Non-taxonomic predicates whose endpoints must both be declared
+#: classes and must not bridge two disjoint families (the deterministic
+#: stand-in for OWL property domain/range + disjointness axioms).
+DOMAIN_RANGE_PREDICATES = ("PARTOF", "RELATEDTO", "HASPROPERTY", "CONNECTEDTO")
+
+
+def domain_range_violations(
+    nodes: DataFrame,
+    edges: DataFrame,
+    disjoint_pairs: list[tuple[str, str]],
+    predicates: tuple[str, ...] = DOMAIN_RANGE_PREDICATES,
+) -> DataFrame:
+    """A17 third axiom class: property domain/range checks for the
+    non-taxonomic predicates (ref src/evaluation/consistency.py:13-108
+    runs HermiT over the full OWL schema; this covers its
+    domain/range + disjointness consequences deterministically).
+
+    Two rules per edge with ``rel_type`` ∈ ``predicates``:
+    - **dangling_endpoint**: both endpoints must exist in ``nodes``
+      (every OWL property here has domain = range = the class
+      hierarchy; an undeclared endpoint is unsatisfiable);
+    - **disjoint_family_bridge**: PARTOF-style edges whose endpoints
+      belong to two declared-disjoint families imply an individual in
+      both families under the reasoner's property restrictions.
+    """
+    from . import graph_ops as G
+
+    rel = edges.where(F.col("rel_type").isin(*predicates))
+    known = nodes.select(F.col("name").alias("n")).distinct()
+
+    dangling = (
+        rel.join(known.withColumnRenamed("n", "src"), "src", "left_anti")
+        .select(F.col("src").alias("subject"), "rel_type")
+        .unionByName(
+            rel.join(known.withColumnRenamed("n", "dst"), "dst", "left_anti")
+            .select(F.col("dst").alias("subject"), "rel_type")
+        )
+        .distinct()
+        .select(
+            F.lit("dangling_endpoint").alias("issue_type"),
+            "subject",
+            F.concat(F.lit("undeclared endpoint of "), F.col("rel_type")).alias("detail"),
+        )
+    )
+
+    fam_frames = []
+    # disjointness is symmetric: check both edge orientations
+    oriented = [(a, b) for a, b in disjoint_pairs] + [(b, a) for a, b in disjoint_pairs]
+    for fam_a, fam_b in oriented:
+        da = G.descendants(edges, fam_a).select(F.col("name").alias("src"))
+        db = G.descendants(edges, fam_b).select(F.col("name").alias("dst"))
+        bridge = (
+            rel.join(da, "src", "left_semi").join(db, "dst", "left_semi")
+            .select(
+                F.lit("disjoint_family_bridge").alias("issue_type"),
+                F.col("src").alias("subject"),
+                F.concat_ws(
+                    " ", F.col("rel_type"),
+                    F.lit("into disjoint family:"),
+                    F.lit(fam_a), F.lit("vs"), F.lit(fam_b),
+                    F.lit("via"), F.col("dst"),
+                ).alias("detail"),
+            )
+        )
+        fam_frames.append(bridge)
+    out = dangling
+    for f in fam_frames:
+        out = out.unionByName(f)
+    return out.distinct()
+
+
+def consistency_report(edges: DataFrame, disjoint_pairs: list[tuple[str, str]],
+                       nodes: DataFrame | None = None) -> DataFrame:
     """A17 combined report (issue_type, subject, detail) — the
     deterministic analogue of the reference HermiT run
-    (src/evaluation/consistency.py:13-108): empty = CONSISTENT."""
+    (src/evaluation/consistency.py:13-108): empty = CONSISTENT.
+    Covers three axiom classes: class disjointness, SUBCLASS_OF
+    acyclicity, and property domain/range (the latter only when a
+    ``nodes`` table is supplied)."""
     dv = disjointness_violations(edges, disjoint_pairs).select(
         F.lit("disjoint_class_violation").alias("issue_type"),
         F.col("name").alias("subject"),
@@ -94,4 +193,7 @@ def consistency_report(edges: DataFrame, disjoint_pairs: list[tuple[str, str]]) 
         F.col("name").alias("subject"),
         F.lit("member of a SUBCLASS_OF cycle").alias("detail"),
     )
-    return dv.unionByName(cy)
+    out = dv.unionByName(cy)
+    if nodes is not None:
+        out = out.unionByName(domain_range_violations(nodes, edges, disjoint_pairs))
+    return out

@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 from ..functions import columns as C
 from ..functions import extraction_rules as X
 from ..functions import semantics as S
+from ..functions.persistence import materialize
 
 # Output schema of the single extraction pass: mentions and triples are
 # carried as arrays and exploded afterwards; clean_text rides along so
@@ -136,16 +137,17 @@ def extract_pipeline(
     """documents(doc_id, spans) → (mentions, doc-level triples,
     preprocessed docs (doc_id, clean_text)).
 
-    The mapInPandas output is EAGERLY localCheckpointed, not lazily
-    cached: it feeds several consumers (mentions, triples, context
-    pairs), and a lazy cache lets concurrent downstream stages race
-    ahead of cache population inside one job — event-log profiling
-    showed the whole Python extraction pass executing twice (~2x the
-    corpus-scale core-seconds). The eager checkpoint materializes the
-    pass exactly once and cuts the lineage for every consumer.
+    The mapInPandas output is EAGERLY materialized, not lazily cached:
+    it feeds several consumers (mentions, triples, context pairs), and
+    a lazy cache lets concurrent downstream stages race ahead of cache
+    population inside one job — event-log profiling showed the whole
+    Python extraction pass executing twice (~2x the corpus-scale
+    core-seconds). ``materialize`` runs the pass exactly once (local
+    mode: lineage-cutting localCheckpoint; cluster: replicated persist
+    — see functions/persistence.py for the fault-tolerance trade).
     """
     prepped = preprocess(concat_text_spans(docs)).select("doc_id", "spans", "clean_text")
-    extracted = extract(prepped, surfaces).localCheckpoint(eager=True)
+    extracted = materialize(extract(prepped, surfaces))
     return (
         mentions_table(extracted),
         triples_table(extracted),

@@ -401,29 +401,30 @@ def category_matches(blocked: DataFrame) -> DataFrame:
     )
 
 
-def find_matches(concepts: DataFrame, catalog: DataFrame,
-                 thresholds: dict | None = None,
-                 prepped: bool = False,
-                 props: DataFrame | None = None) -> DataFrame:
-    """M1: union all methods → M6 best-per-(concept,candidate) → top-10
-    per concept. Returns ranked matches with rank column.
-
-    ``prepped=True`` means ``concepts`` already went through
-    ``prepare_concepts`` (category/embedding/block_keys present).
-    ``props`` (concept + tech-spec columns) enables the M4 band.
-    """
+def base_match_offers(prepped_df: DataFrame, catalog: DataFrame,
+                      thresholds: dict | None = None) -> DataFrame:
+    """The four bands that need only the prepped concepts (M2, M3-exact,
+    M3-fuzzy, M5) — separated from the M4 technical band so the driver
+    can materialize them concurrently with the context→props leg that
+    feeds M4 (see plans/pipeline.py)."""
     th = thresholds or S.DEFAULT_THRESHOLDS
-    prepped_df = concepts if prepped else prepare_concepts(concepts)
     blocked = _blocked_pairs(prepped_df, catalog)
-
-    all_matches = (
+    return (
         embedding_matches(prepped_df, catalog, th["low_similarity"])
         .unionByName(lexical_exact_matches(prepped_df, catalog))
         .unionByName(lexical_fuzzy_matches(blocked))
         .unionByName(category_matches(blocked))
     )
-    if props is not None:
-        all_matches = all_matches.unionByName(technical_matches(props, catalog))
+
+
+def rank_matches(all_matches: DataFrame) -> DataFrame:
+    """M6 + top-10 on a union of band offers.
+
+    ONE exchange for both windows: hash-repartitioning by ``concept``
+    satisfies the clustering requirement of the per-(concept, candidate)
+    window too (partition keys ⊆ clustering keys), so Catalyst inserts
+    no second exchange — plan-asserted in tests/test_plan_quality.py."""
+    all_matches = all_matches.repartition("concept")
 
     # M6: best score per (concept, candidate); ties → lower method_rank.
     per_cand = Window.partitionBy("concept", "candidate").orderBy(
@@ -443,6 +444,64 @@ def find_matches(concepts: DataFrame, catalog: DataFrame,
         deduped.withColumn("rank", F.row_number().over(per_concept))
         .where(F.col("rank") <= 10)
     )
+
+
+def best_offers(all_matches: DataFrame) -> DataFrame:
+    """Argmax offer per concept, straight from the union of band
+    offers — equivalent to ``rank_matches(...)  [rank == 1]`` but ONE
+    partial-aggregating exchange instead of two window sorts (the
+    decision cascade needs only the winner; the full top-10 stays a
+    lazy deliverable).
+
+    Equivalence: M6 keeps, per candidate, the max-score offer with the
+    lowest method_rank; top-1 then picks max score, ties by candidate
+    asc. Composing both = argmin over raw offers of the lexicographic
+    key (-score, candidate, method_rank): min -score is the global max
+    score, then min candidate among its achievers, then min
+    method_rank among that candidate's max-score offers — exactly the
+    M6-deduped winner row. Asserted against rank_matches in pytest.
+    """
+    key = F.struct(
+        (-F.col("score")).alias("ns"),
+        F.col("candidate").alias("c"),
+        F.col("method_rank").alias("mr"),
+    )
+    val = F.struct("candidate", "score", "match_type")
+    agg = all_matches.groupBy("concept").agg(F.min_by(val, key).alias("b"))
+    return agg.select(
+        "concept",
+        F.col("b.candidate").alias("best_match"),
+        F.col("b.score").alias("best_score"),
+        F.col("b.match_type").alias("match_type"),
+    )
+
+
+def best_offers_with_category(all_matches: DataFrame, catalog: DataFrame) -> DataFrame:
+    """best_offers + the winning candidate's catalog category (what the
+    M8 validation band compares against)."""
+    cat = F.broadcast(
+        catalog.select(F.col("name").alias("best_match"),
+                       F.col("category").alias("best_category"))
+    )
+    return best_offers(all_matches).join(cat, "best_match", "left")
+
+
+def find_matches(concepts: DataFrame, catalog: DataFrame,
+                 thresholds: dict | None = None,
+                 prepped: bool = False,
+                 props: DataFrame | None = None) -> DataFrame:
+    """M1: union all methods → M6 best-per-(concept,candidate) → top-10
+    per concept. Returns ranked matches with rank column.
+
+    ``prepped=True`` means ``concepts`` already went through
+    ``prepare_concepts`` (category/embedding/block_keys present).
+    ``props`` (concept + tech-spec columns) enables the M4 band.
+    """
+    prepped_df = concepts if prepped else prepare_concepts(concepts)
+    all_matches = base_match_offers(prepped_df, catalog, thresholds)
+    if props is not None:
+        all_matches = all_matches.unionByName(technical_matches(props, catalog))
+    return rank_matches(all_matches)
 
 
 def best_matches(matches: DataFrame, catalog: DataFrame) -> DataFrame:

@@ -138,22 +138,37 @@ def qa_corpus_sql(dialect: str = "spark") -> dict[str, str]:
         "SELECT rel_type AS relation, dst AS target FROM ont_edges "
         "WHERE src = 'cable assembly' AND rel_type <> 'SUBCLASS_OF' ORDER BY relation, target"
     )
+    # Level-synchronous BFS, statically unrolled to the 7-hop cap: each
+    # level is min-aggregated per node, so every intermediate relation
+    # is bounded by |V| rows — the earlier all-simple-paths recursive
+    # walk was exponential in dense neighborhoods (a 50-node near-
+    # clique enumerates ~50! prefixes; BFS touches 50x7 rows).
+    # Unrolled rather than WITH RECURSIVE because the level-wise dedup
+    # needs set semantics and Spark 4 recursive CTEs only allow UNION
+    # ALL; the same SQL text runs on both engines.
+    _bfs_levels = []
+    for k in range(1, 8):
+        _bfs_levels.append(
+            f"h{k}(node, hops) AS (\n"
+            f"          SELECT node, MIN(hops) AS hops FROM (\n"
+            f"            SELECT node, hops FROM h{k - 1}\n"
+            f"            UNION ALL\n"
+            f"            SELECT u.dst, h{k - 1}.hops + 1 FROM und u"
+            f" JOIN h{k - 1} ON u.src = h{k - 1}.node\n"
+            f"          ) lvl GROUP BY node\n"
+            f"        )"
+        )
+    _bfs_joined = ",\n        ".join(_bfs_levels)
     q["qa_q16_shortest_path"] = f"""
-        WITH RECURSIVE und(src, dst) AS (
+        WITH und(src, dst) AS (
           SELECT src, dst FROM ont_edges UNION SELECT dst, src FROM ont_edges
         ),
-        walk(node, path) AS (
-          SELECT CAST('Resistor' AS {'STRING' if dialect == 'spark' else 'VARCHAR'}),
-                 {D['arr']}('Resistor')
-          UNION ALL
-          SELECT u.dst, {append.format(p='walk.path', x='u.dst')}
-          FROM und u JOIN walk ON u.src = walk.node
-          WHERE NOT {contains.format(p='walk.path', x='u.dst')}
-            AND {D['len']}(walk.path) < 8
-        )
-        SELECT 'Resistor' AS a, 'Antenna' AS b,
-               CAST(MIN({D['len']}(path)) - 1 AS INT) AS hops
-        FROM walk WHERE node = 'Antenna'
+        h0(node, hops) AS (
+          SELECT CAST('Resistor' AS {'STRING' if dialect == 'spark' else 'VARCHAR'}), 0
+        ),
+        {_bfs_joined}
+        SELECT 'Resistor' AS a, 'Antenna' AS b, CAST(MIN(hops) AS INT) AS hops
+        FROM h7 WHERE node = 'Antenna'
     """
     q["qa_q17_bridges"] = f"""
         WITH RECURSIVE sub(src, dst) AS ({sub}),

@@ -15,10 +15,23 @@ The corpus-sized data never shuffles: the only exchanges are over the
 distinct-concept vocabulary. At 10^12 docs the extraction stage is
 embarrassingly parallel over doc_id partitions and the linking stage is
 a constant-size tail.
+
+Driver orchestration: after the one corpus extraction pass, three
+independent legs fan out from the materialized mentions —
+
+    leg A: distinct concepts → embed/block-keys (prepare_concepts)
+    leg B: concept context   → technical props  (E7/E9)
+    leg C: extracted (subj, pred, obj) distinct (E5)
+
+The driver submits them from a small thread pool, so Spark's scheduler
+runs the three jobs concurrently and the wall is max(leg) instead of
+sum(leg) — the same cores, no extra work, ~2x less serial tail. The
+linking/decision job then reads three pinned, vocabulary-sized inputs.
 """
 
 from __future__ import annotations
 
+from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -27,6 +40,7 @@ from pyspark.sql import functions as F
 from ..fixtures import baseline
 from ..functions import columns as C
 from ..functions import semantics as S
+from ..functions.persistence import materialize
 from ..operators import canonicalize as CC
 from ..operators import decisions as D
 from ..operators import enrich as EN
@@ -53,56 +67,105 @@ def run_pipeline(
     catalog_rows: list[dict] | None = None,
     thresholds: dict | None = None,
     extra_surfaces: tuple[str, ...] = (),
+    catalog_df: DataFrame | None = None,
 ) -> PipelineResult:
     """``extra_surfaces`` widens the extraction gazetteer beyond the
     link catalog (mentions of unknown-to-the-catalog terms are what
-    drive EXTEND decisions)."""
+    drive EXTEND decisions). ``catalog_df`` lets repeated runs reuse an
+    already-prepared (cached/broadcast-warm) catalog."""
     catalog_rows = catalog_rows if catalog_rows is not None else baseline.entity_catalog()
     th = thresholds or S.DEFAULT_THRESHOLDS
     surfaces = tuple(sorted(
         {r["name"].lower() for r in catalog_rows} | {s.lower() for s in extra_surfaces}
     ))
 
-    catalog = L.prepare_catalog(spark, catalog_rows).cache()
+    catalog = catalog_df if catalog_df is not None else L.prepare_catalog(spark, catalog_rows).cache()
 
-    mentions, doc_triples, docs_text = E.extract_pipeline(docs, surfaces)
-    # Eager checkpoint, not lazy cache: mentions feed THREE consumers
-    # (concepts, context pairs, fan-back), and AQE runs consumer stages
-    # concurrently — a lazy cache gets raced and the explode subtree
-    # recomputed per stage (measured in event logs). One cheap pass
-    # over the checkpointed extraction output materializes it.
-    mentions = mentions.localCheckpoint(eager=True)
+    mentions_raw, doc_triples, docs_text = E.extract_pipeline(docs, surfaces)
 
     # The concept DIMENSION is |vocabulary|-sized, orders of magnitude
     # below the corpus: give its stages (embed UDF, blocked joins,
     # windows, decide) a proportionate partition count instead of the
-    # corpus-grade default the distinct() cache would otherwise pin
-    # (32 near-empty partitions → 32 task launches + Python worker
-    # spins per downstream stage — the measured serial tail). On a
-    # cluster, size by |vocab| / ~50k concepts per partition.
-    # Eager-checkpointed for the same race reason: FIVE match bands
-    # consume prepped concurrently. parallelism//2 (not //8): the
-    # fuzzy/category difflib bands run Python work proportional to the
-    # blocked-pair count (which grows with corpus vocabulary — part
-    # numbers are distinct concepts), and band parallelism is capped by
-    # prepped's partition count — //8 left 60 core-seconds on 4 tasks.
+    # corpus-grade default the distinct() cache would otherwise pin.
+    # On a cluster, size by |vocab| / ~50k concepts per partition.
+    # parallelism//2 (not //8): the fuzzy/category difflib bands run
+    # Python work proportional to the blocked-pair count (which grows
+    # with corpus vocabulary — part numbers are distinct concepts), and
+    # band parallelism is capped by prepped's partition count.
     vocab_parts = max(2, spark.sparkContext.defaultParallelism // 2)
-    concepts = E.distinct_concepts(mentions).repartition(vocab_parts)
-    prepped = L.prepare_concepts(concepts).localCheckpoint(eager=True)
 
-    # E7/E9: concept context → technical props (feeds the M4 band)
-    context = EN.concept_context(mentions, docs_text)
-    props = EN.extract_properties(context).drop("context")
+    # Four independent legs fan out from the pinned extraction output
+    # (module docstring). Each leg re-derives the narrow explode/filter
+    # projection it needs from the checkpoint rather than waiting on a
+    # shared mentions materialization — the explode is cheap; the
+    # serialization wasn't. Each leg runs in its own FAIR-scheduler
+    # pool (created on demand, equal weight) so the legs share task
+    # slots instead of queueing FIFO behind the first-submitted job;
+    # setLocalProperty is per-thread (pinned-thread mode).
+    sc = spark.sparkContext
 
-    matches = L.find_matches(prepped, catalog, th, prepped=True, props=props)
-    best = L.best_matches(matches, catalog)
+    def _pooled(name, fn):
+        def run():
+            sc.setLocalProperty("spark.scheduler.pool", name)
+            try:
+                return fn()
+            finally:
+                sc.setLocalProperty("spark.scheduler.pool", None)
+        return run
+
+    def leg_mentions() -> DataFrame:
+        # The corpus-sized mentions table (a PipelineResult deliverable
+        # and the A-series analytics input); nothing on the linking
+        # critical path waits for it.
+        return materialize(mentions_raw)
+
+    def leg_offers() -> tuple[DataFrame, DataFrame, DataFrame]:
+        concepts = E.distinct_concepts(mentions_raw).repartition(vocab_parts)
+        # Eagerly pinned: FIVE match bands consume prepped concurrently.
+        prepped = materialize(L.prepare_concepts(concepts))
+        # The four bands that need only prepped (M2/M3/M5) score here,
+        # overlapped with the context→props leg that feeds M4.
+        offers = materialize(L.base_match_offers(prepped, catalog, th))
+        return concepts, prepped, offers
+
+    def leg_tech() -> tuple[DataFrame, DataFrame]:
+        # E7/E9: concept context → technical props → M4 band.
+        context = EN.concept_context(mentions_raw, docs_text)
+        props = materialize(EN.extract_properties(context).drop("context"))
+        return props, materialize(L.technical_matches(props, catalog))
+
+    def leg_triples() -> DataFrame:
+        # E5 dedup up front: apply_canonicalization ends in a
+        # (subj, pred, obj) dropDuplicates anyway, so distincting here
+        # is output-invariant and keeps the final assembly job
+        # vocabulary-sized instead of rescanning the corpus-sized
+        # extraction output on the critical path.
+        return materialize(doc_triples.select("subj", "pred", "obj").distinct())
+
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        f_mentions = pool.submit(_pooled("leg-mentions", leg_mentions))
+        f_offers = pool.submit(_pooled("leg-offers", leg_offers))
+        f_tech = pool.submit(_pooled("leg-tech", leg_tech))
+        f_triples = pool.submit(_pooled("leg-triples", leg_triples))
+        concepts, prepped, offers = f_offers.result()
+        props, tech_offers = f_tech.result()
+        extracted_triples = f_triples.result()
+        mentions = f_mentions.result()
+
+    all_offers = offers.unionByName(tech_offers)
+    # Full top-10 ranking is a lazy deliverable (analytics/A14 read it);
+    # the decision cascade needs only the argmax row, which best_offers
+    # computes with one partial-agg exchange instead of two window
+    # sorts (equivalence proof + pytest in linking.py).
+    matches = L.rank_matches(all_offers)
+    best = L.best_offers_with_category(all_offers, catalog)
     best_full = prepped.select("concept", "category").join(best, "concept", "left")
 
-    # Eager checkpoint: the whole linking chain (context → props →
-    # bands → argmax → cascade) materializes exactly once, here; the
-    # downstream canonicalization probe and the triples job read a
-    # vocabulary-sized table instead of re-walking the chain.
-    decided = D.decide(best_full, th).localCheckpoint(eager=True)
+    # Eager: the whole linking chain (bands → argmax → cascade)
+    # materializes exactly once, here; the downstream canonicalization
+    # probe and the triples job read a vocabulary-sized table instead
+    # of re-walking the chain.
+    decided = materialize(D.decide(best_full, th))
     tasks = D.route_tasks(decided)
     mappings = D.mapping_objects(decided)
 
@@ -112,11 +175,6 @@ def run_pipeline(
         F.lit("subclass_of").alias("pred"),
         C.normalize_name(F.col("parent_class")).alias("obj"),
     )
-
-    # No dedup here: apply_canonicalization ends in the (subj,pred,obj)
-    # dropDuplicates anyway — deduping twice costs a full extra shuffle
-    # of the triple set, and the joins in between are broadcast (narrow).
-    extracted_triples = doc_triples.select("subj", "pred", "obj")
     triples = routed_triples.unionByName(extracted_triples)
 
     # M13: canonicalize through MAP_* alias edges (connected components

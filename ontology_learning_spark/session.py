@@ -37,6 +37,13 @@ def build_session(
         SparkSession.builder.appName(app_name)
         .master(master)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # FAIR job scheduling: the flagship pipeline materializes its
+        # independent legs from concurrent driver threads (each in its
+        # own on-demand pool); FIFO would let the first-submitted job
+        # hog every task slot and serialize the legs (measured: ~0 wall
+        # overlap at 4 concurrent jobs under FIFO). Single-job
+        # workloads are unaffected.
+        .config("spark.scheduler.mode", "FAIR")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         # Size-based coalescing assumes bytes ∝ CPU; mention/concept
