@@ -787,13 +787,16 @@ _AUG_SQL = f"""
 
 
 def _q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH candidates → exact Jaccard verify. Oracle = the exact
-    all-pairs shingle join: equal because every true pair in the driver
-    corpus has J>=0.9, where per-pair LSH miss probability at 8 bands
-    of r=4 is (1-0.9^4)^8 ~ 2e-4 (verified: 25/25 found)."""
+    """MinHash-LSH candidates → exact Jaccard verify at threshold 0.9 —
+    the threshold the LSH recall argument actually covers: per-pair
+    miss probability at 8 bands of r=4 is (1-0.9^4)^8 ~ 2e-4 for
+    J>=0.9 (verified: 25/25 found), whereas a J in [0.5, 0.9) pair
+    could be missed with probability up to ~0.6, which would make an
+    exact-twin oracle flaky if the corpus generator ever introduced
+    mid-band pairs. Threshold raised from 0.5 per round-2 review."""
     from ontology_learning_spark.operators.dedup import ngram_jaccard_pairs
 
-    return ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.5).select(
+    return ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.9).select(
         "id_a", "id_b", F.round("jaccard", 4).alias("jaccard")
     )
 
@@ -1365,7 +1368,7 @@ def oracle_sql() -> dict[str, str]:
                        / CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE) AS j
               FROM nz a JOIN nz b ON a.doc_id < b.doc_id
             )
-            SELECT id_a, id_b, ROUND(j, 4) AS jaccard FROM pairs WHERE j >= 0.5
+            SELECT id_a, id_b, ROUND(j, 4) AS jaccard FROM pairs WHERE j >= 0.9
         """,
         "simhash_near_dups": f"""
             WITH toks AS (

@@ -34,6 +34,7 @@ BENCH_QUERIES = [
     "kg_doc_mentions",
     "dedup_exact",
     "minhash_near_dups",
+    "simhash_near_dups",
     "text_quality",
     "text_lang_id",
     "emb_topk",
@@ -83,14 +84,17 @@ def run_suite(master: str, sf_dir: str, pipeline_only: bool = False,
     from ontology_learning_spark.plans.pipeline import run_pipeline
 
     n_docs = n_docs_override or max(500, int(50_000 * sf))
-    # 2 partitions per core: two waves smooth stragglers while keeping
-    # the per-partition Python round-trip overhead (task launch + Arrow
-    # batch + worker hop, measured ~1s/wave of tiny tasks) off the
-    # critical path. Scales with the parallelism level, so per-doc work
-    # is identical across the scaling-mode A/B runs.
+    # Partition sizing: ~1250 docs/partition (≈1 core-second of
+    # extraction each) bounds task size and gives multiple waves on
+    # big corpora for straggler smoothing, while the cores floor keeps
+    # every slot busy on small corpora without paying per-task
+    # overhead for empty waves (measured: 32 parts beats 64 by ~0.7s
+    # at 5k docs / local[32]). The 80k-doc scaling corpus lands on the
+    # same 64 partitions at BOTH parallelism levels, so per-doc work is
+    # identical across the A/B scaling runs.
     corpus = spark.createDataFrame(
         generate_documents(n_docs=n_docs, seed=42), schema=DOCUMENT_SCHEMA
-    ).repartition(2 * cores).cache()
+    ).repartition(max(cores, n_docs // 1250)).cache()
     corpus.count()  # materialize outside the timed window
 
     # The entity catalog is a fixed broadcast dimension — prepare once

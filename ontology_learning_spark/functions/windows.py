@@ -63,13 +63,19 @@ def _with_partition_offsets(df: DataFrame, order_col: str, agg_col,
     # localCheckpoint pins the (non-deterministic) pid assignment so the
     # totals pass and the ranking pass see identical partitioning.
     part = part.localCheckpoint()
-    totals = part.groupBy("_pid").agg(agg_col.alias("_t")).collect()
+    totals_df = part.groupBy("_pid").agg(agg_col.alias("_t"))
+    # Offset type follows the aggregate's type: a fractional value_col
+    # (summing doubles) must not silently truncate through a hardcoded
+    # bigint offsets schema.
+    agg_type = totals_df.schema["_t"].dataType.simpleString()
+    off_type = "double" if agg_type == "float" else agg_type
+    totals = totals_df.collect()
     totals_by_pid = {r["_pid"]: r["_t"] for r in totals}
-    rows, acc = [], 0
+    rows, acc = [], (0.0 if off_type == "double" else 0)
     for pid in sorted(totals_by_pid):
         rows.append((pid, acc))
         acc += totals_by_pid[pid] or 0
-    offsets = spark.createDataFrame(rows or [(0, 0)], "_pid int, _off bigint")
+    offsets = spark.createDataFrame(rows or [(0, 0)], f"_pid int, _off {off_type}")
     return part, F.broadcast(offsets)
 
 

@@ -193,26 +193,57 @@ def ngram_jaccard_pairs(
 # ---------------------------------------------------------------------------
 
 
+# Token → ±1 bit-contribution vector, memoized per executor process:
+# the token vocabulary is tiny relative to the corpus, so the md5 (the
+# round-2 per-token interpreted inner loop) runs once per DISTINCT
+# token instead of once per occurrence. Bounded so a 100 TB corpus's
+# long-tail vocabulary can't grow executor memory without limit.
+_SIMHASH_TOK_CACHE: dict[str, "np.ndarray"] = {}
+_SIMHASH_TOK_CACHE_MAX = 2_000_000
+
+
+def _simhash_token_vec(tok: str) -> "np.ndarray":
+    v = _SIMHASH_TOK_CACHE.get(tok)
+    if v is None:
+        import hashlib
+
+        # identical bit order to the original per-token loop (and the
+        # DuckDB SQL twin): unpackbits over md5 digest[:8], MSB-first
+        # within each byte.
+        bits = np.unpackbits(
+            np.frombuffer(hashlib.md5(tok.encode()).digest()[:8], dtype=np.uint8)
+        )
+        v = np.where(bits == 1, 1, -1).astype(np.int64)
+        if len(_SIMHASH_TOK_CACHE) >= _SIMHASH_TOK_CACHE_MAX:
+            _SIMHASH_TOK_CACHE.clear()
+        _SIMHASH_TOK_CACHE[tok] = v
+    return v
+
+
+_SIMHASH_BIT_VALUES = (np.uint64(1) << np.arange(64, dtype=np.uint64))
+
+
 @F.pandas_udf(T.LongType())
 def simhash64_udf(texts: pd.Series) -> pd.Series:
-    """64-bit SimHash over word tokens (deterministic, numpy-vectorized
-    per batch). Near-dups have small Hamming distance."""
-    import hashlib
+    """64-bit SimHash over word tokens (deterministic). Near-dups have
+    small Hamming distance.
+
+    Vectorized: per document, token multiplicities fold into one
+    (counts @ unique-token-bit-matrix) integer matmul; md5 runs only on
+    cache-miss tokens. Bit-exact with the round-2 per-token loop (the
+    accumulator is the same ±1 sum, reassembled MSB-per-byte)."""
+    from collections import Counter
 
     out = np.zeros(len(texts), dtype=np.int64)
     for i, t in enumerate(texts):
         toks = (t or "").lower().split()
         if not toks:
             continue
-        acc = np.zeros(64, dtype=np.int64)
-        for tok in toks:
-            h = int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "little")
-            bits = np.unpackbits(np.frombuffer(h.to_bytes(8, "little"), dtype=np.uint8))
-            acc += np.where(bits == 1, 1, -1)
-        sig = np.uint64(0)
-        for b in range(64):
-            if acc[b] > 0:
-                sig |= np.uint64(1) << np.uint64(b)
+        cnt = Counter(toks)
+        M = np.stack([_simhash_token_vec(tok) for tok in cnt])
+        c = np.fromiter(cnt.values(), dtype=np.int64, count=len(cnt))
+        acc = c @ M
+        sig = np.uint64(_SIMHASH_BIT_VALUES[acc > 0].sum())
         out[i] = np.int64(sig.astype(np.int64))
     return pd.Series(out)
 

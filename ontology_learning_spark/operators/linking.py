@@ -150,12 +150,21 @@ def embedding_matches(concepts: DataFrame, catalog: DataFrame, low: float) -> Da
     import numpy as np
     import pandas as pd
 
-    cat_rows = catalog.select("name", "embedding").collect()  # catalog is small
-    names = np.array([r["name"] for r in cat_rows])
-    M = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in cat_rows])
-    m_norm = np.linalg.norm(M, axis=1)
-    m_norm[m_norm == 0] = 1.0
-    Mn = (M.T / m_norm).T
+    # Memoized on the catalog DataFrame object: a long-lived job links
+    # many batches against one broadcast catalog, and the collect +
+    # normalize is a driver-side job on the critical path of every
+    # pipeline run otherwise.
+    cached = getattr(catalog, "_ols_embed_cache", None)
+    if cached is None:
+        cat_rows = catalog.select("name", "embedding").collect()  # catalog is small
+        names = np.array([r["name"] for r in cat_rows])
+        M = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in cat_rows])
+        m_norm = np.linalg.norm(M, axis=1)
+        m_norm[m_norm == 0] = 1.0
+        Mn = (M.T / m_norm).T
+        cached = (names, Mn)
+        catalog._ols_embed_cache = cached
+    names, Mn = cached
 
     # Per-concept cap inside the band: hashed embeddings are weakly
     # selective (most concept x catalog pairs clear the low bar —
@@ -263,6 +272,46 @@ def lexical_fuzzy_matches(blocked: DataFrame) -> DataFrame:
 TECH_PROPS = ["frequency", "impedance", "voltage", "connector", "mounting"]
 
 
+def _synonym_band_scores(l_vals, c_vals, groups, np):
+    """Vectorized twin of semantics._synonym_match over a batch×catalog
+    band: canonicalize both sides to synonym classes first (equal value
+    or shared class → 1.0 with no Python ratio call), then run
+    SequenceMatcher only on residual pairs, memoized per distinct left
+    value (extracted spec values repeat heavily — the unit-pattern
+    vocabulary is tiny). Replaces the O(batch × catalog) per-pair
+    Python loop; parity by construction (residuals call the same
+    semantics.seq_ratio)."""
+
+    def _cls(v):
+        for gi, g in enumerate(groups):
+            if v in g:
+                return gi
+        return None
+
+    c_norm = [b.lower().strip() if b else None for b in c_vals]
+    c_cls = [_cls(b) if b is not None else None for b in c_norm]
+    out = np.zeros((len(l_vals), len(c_vals)))
+    row_cache: dict[str, object] = {}
+    for i, a in enumerate(l_vals):
+        if not a:
+            continue
+        an = a.lower().strip()
+        row = row_cache.get(an)
+        if row is None:
+            ac = _cls(an)
+            row = np.zeros(len(c_vals))
+            for k, bn in enumerate(c_norm):
+                if bn is None:
+                    continue
+                if an == bn or (ac is not None and ac == c_cls[k]):
+                    row[k] = 1.0
+                else:
+                    row[k] = S.seq_ratio(an, bn)
+            row_cache[an] = row
+        out[i] = row
+    return out
+
+
 def technical_matches(props: DataFrame, catalog: DataFrame) -> DataFrame:
     """M4: spec-based matches. Only concepts/catalog rows with >=2
     non-null props can clear the >=1.5 total bar, so both sides are
@@ -289,10 +338,13 @@ def technical_matches(props: DataFrame, catalog: DataFrame) -> DataFrame:
     left = props.where(_n_props(props, TECH_PROPS) >= 2).select(
         "concept", *[F.col(p).alias(f"l_{p}") for p in TECH_PROPS]
     )
-    right = catalog.where(_n_props(catalog, TECH_PROPS) >= 2).select(
-        F.col("name").alias("candidate"), *[F.col(p).alias(f"r_{p}") for p in TECH_PROPS]
-    )
-    cat_rows = right.collect()  # dimension-sized, same contract as embedding band
+    cat_rows = getattr(catalog, "_ols_tech_cache", None)
+    if cat_rows is None:
+        right = catalog.where(_n_props(catalog, TECH_PROPS) >= 2).select(
+            F.col("name").alias("candidate"), *[F.col(p).alias(f"r_{p}") for p in TECH_PROPS]
+        )
+        cat_rows = right.collect()  # dimension-sized, same contract as embedding band
+        catalog._ols_tech_cache = cat_rows
 
     def _freq_arr(vals):
         out = np.full((len(vals), 2), np.nan)
@@ -351,18 +403,12 @@ def technical_matches(props: DataFrame, catalog: DataFrame) -> DataFrame:
             s_imp = _ratio_band(l_imp, c_imp, 0.9)
             s_volt = _ratio_band(l_volt, c_volt, 0.8)
 
-            s_conn = np.zeros((L, R))
-            s_mount = np.zeros((L, R))
-            for band, l_vals, c_vals, fn in (
-                (s_conn, pdf["l_connector"].tolist(), c_conn, S.match_connector),
-                (s_mount, pdf["l_mounting"].tolist(), c_mount, S.match_mounting),
-            ):
-                for i, a in enumerate(l_vals):
-                    if not a:
-                        continue
-                    for k, b in enumerate(c_vals):
-                        if b:
-                            band[i, k] = fn(a, b)
+            s_conn = _synonym_band_scores(
+                pdf["l_connector"].tolist(), c_conn, S._CONNECTOR_SYNONYMS, np
+            )
+            s_mount = _synonym_band_scores(
+                pdf["l_mounting"].tolist(), c_mount, S._MOUNTING_SYNONYMS, np
+            )
 
             total = np.zeros((L, R))
             n = np.zeros((L, R), dtype=np.int64)

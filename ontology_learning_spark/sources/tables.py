@@ -36,10 +36,22 @@ class ManifestLog:
         return [json.loads(l) for l in self.path.read_text().splitlines() if l.strip()]
 
     def committed(self, run_id: str, stage: str) -> bool:
+        # rows carrying a "partition" key are PARTIAL (per-partition)
+        # commits from materialize_by_partition; only the stage-level
+        # marker makes the stage done.
         return any(
-            e["run_id"] == run_id and e["stage"] == stage and e["status"] == "committed"
+            e["run_id"] == run_id and e["stage"] == stage
+            and e["status"] == "committed" and "partition" not in e
             for e in self.entries()
         )
+
+    def committed_partitions(self, run_id: str, stage: str) -> set[str]:
+        return {
+            e["partition"]
+            for e in self.entries()
+            if e["run_id"] == run_id and e["stage"] == stage
+            and e["status"] == "committed" and "partition" in e
+        }
 
     def commit(self, run_id: str, stage: str, rows: int, wall_ms: float,
                extra: dict | None = None) -> None:
@@ -106,6 +118,51 @@ class StageStore:
         self.manifest.commit(
             self.run_id, stage, total, (time.time() - t0) * 1000,
             extra={"partitions": lineage},
+        )
+        return out
+
+    def materialize_by_partition(self, stage: str, df_fn, partition_col: str) -> DataFrame:
+        """Partition-granular resumable write (ref stage-cache semantics
+        at partition granularity, cached_schema_org_pipeline.py:47-78):
+        each partition value commits its own manifest row as soon as its
+        write lands, so a failure mid-stage — even inside one
+        partition's tasks — loses only the uncommitted partitions.
+        Resume anti-joins the manifest's committed-partition set and
+        recomputes EXACTLY the missing ones (pytest injects a one-
+        partition task failure and asserts this).
+
+        Each partition is its own write job filtering the upstream
+        plan; callers should hand in a df_fn whose input is already a
+        pinned stage table so the per-partition re-derivation is a
+        pruned scan, not a recompute of the whole upstream pipeline.
+        """
+        if self.is_done(stage):
+            return self.read(stage)
+        t0 = time.time()
+        df = df_fn()
+        values = sorted(
+            str(r[0]) for r in df.select(partition_col).distinct().collect()
+            if r[0] is not None
+        )
+        done = self.manifest.committed_partitions(self.run_id, stage)
+        total_rows = 0
+        for v in values:
+            if v in done:
+                continue
+            tp = time.time()
+            part_path = f"{self._path(stage)}/{partition_col}={v}"
+            part_df = df.where(F.col(partition_col).cast("string") == v).drop(partition_col)
+            part_df.write.mode("overwrite").parquet(part_path)
+            n = self.spark.read.parquet(part_path).count()
+            total_rows += n
+            self.manifest.commit(
+                self.run_id, stage, n, (time.time() - tp) * 1000,
+                extra={"partition": v},
+            )
+        out = self.spark.read.parquet(self._path(stage))
+        self.manifest.commit(
+            self.run_id, stage, out.count(), (time.time() - t0) * 1000,
+            extra={"partitions": {v: None for v in values}},
         )
         return out
 
