@@ -654,6 +654,104 @@ def _qa_edges_df(spark: SparkSession) -> DataFrame:
     )
 
 
+# A17 consistency: planted violations of each axiom class, plus the
+# two-cycles-connected-by-a-path pattern (bridge m) that an exact SCC
+# check must NOT flag (the round-2 sink/source peel did).
+_CONSISTENCY_EXTRA_EDGES = [
+    ("loop a", "SUBCLASS_OF", "loop b"),
+    ("loop b", "SUBCLASS_OF", "loop a"),
+    ("loop b", "SUBCLASS_OF", "bridge m"),
+    ("bridge m", "SUBCLASS_OF", "loop c"),
+    ("loop c", "SUBCLASS_OF", "loop d"),
+    ("loop d", "SUBCLASS_OF", "loop c"),
+    ("weird part", "SUBCLASS_OF", "PassiveComponent"),
+    ("weird part", "SUBCLASS_OF", "ActiveComponent"),
+    ("Resistor", "RELATEDTO", "ghost node"),
+    ("Capacitor", "PARTOF", "Transistor"),
+]
+_CONSISTENCY_DISJOINT = [("PassiveComponent", "ActiveComponent")]
+
+
+def _consistency_edges_df(spark: SparkSession) -> DataFrame:
+    return _edges_df(spark).unionByName(
+        spark.createDataFrame(_CONSISTENCY_EXTRA_EDGES, "src string, rel_type string, dst string")
+    )
+
+
+def _consistency_node_names() -> list[str]:
+    names = {c for c, _ in HIERARCHY} | {p for _, p in HIERARCHY} | {
+        "loop a", "loop b", "loop c", "loop d", "bridge m", "weird part",
+    }  # 'ghost node' deliberately undeclared
+    return sorted(names)
+
+
+def _q_graph_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A17 combined report (disjointness + exact SUBCLASS_OF cycle
+    membership + property domain/range) over the planted graph; the
+    oracle recomputes all three axiom classes in recursive SQL."""
+    from ontology_learning_spark.operators.exports import consistency_report
+
+    nodes = spark.createDataFrame([(n,) for n in _consistency_node_names()], "name string")
+    return consistency_report(
+        _consistency_edges_df(spark), _CONSISTENCY_DISJOINT, nodes=nodes
+    )
+
+
+def _consistency_oracle() -> str:
+    edge_vals = ", ".join(
+        f"('{a}', 'SUBCLASS_OF', '{b}')" for a, b in HIERARCHY
+    ) + ", " + ", ".join(f"('{a}', '{r}', '{b}')" for a, r, b in _CONSISTENCY_EXTRA_EDGES)
+    node_vals = ", ".join(f"('{n}')" for n in _consistency_node_names())
+    fam_a, fam_b = _CONSISTENCY_DISJOINT[0]
+    from ontology_learning_spark.operators.exports import DOMAIN_RANGE_PREDICATES
+
+    preds = ", ".join(f"'{p}'" for p in DOMAIN_RANGE_PREDICATES)
+    return f"""
+        WITH RECURSIVE edges(src, rel_type, dst) AS (
+          SELECT * FROM (VALUES {edge_vals}) t(src, rel_type, dst)
+        ),
+        nodes(name) AS (SELECT * FROM (VALUES {node_vals}) t(name)),
+        sub(src, dst) AS (SELECT src, dst FROM edges WHERE rel_type = 'SUBCLASS_OF'),
+        d_a(name) AS (
+          SELECT src FROM sub WHERE dst = '{fam_a}'
+          UNION SELECT s.src FROM sub s JOIN d_a ON s.dst = d_a.name
+        ),
+        d_b(name) AS (
+          SELECT src FROM sub WHERE dst = '{fam_b}'
+          UNION SELECT s.src FROM sub s JOIN d_b ON s.dst = d_b.name
+        ),
+        reach(src, dst) AS (
+          SELECT src, dst FROM sub
+          UNION SELECT r.src, s.dst FROM reach r JOIN sub s ON r.dst = s.src
+        ),
+        rel AS (SELECT * FROM edges WHERE rel_type IN ({preds}))
+        SELECT DISTINCT 'disjoint_class_violation' AS issue_type, a.name AS subject,
+               '{fam_a} & {fam_b}' AS detail
+        FROM d_a a JOIN d_b b ON a.name = b.name
+        UNION ALL
+        SELECT DISTINCT 'subclass_cycle', src, 'member of a SUBCLASS_OF cycle'
+        FROM reach WHERE src = dst
+        UNION ALL
+        SELECT * FROM (
+          SELECT DISTINCT 'dangling_endpoint' AS issue_type, e.x AS subject,
+                 'undeclared endpoint of ' || e.rt AS detail
+          FROM (SELECT src AS x, rel_type AS rt FROM rel
+                UNION ALL SELECT dst, rel_type FROM rel) e
+          WHERE e.x NOT IN (SELECT name FROM nodes)
+          UNION ALL
+          SELECT DISTINCT 'disjoint_family_bridge', r.src,
+                 r.rel_type || ' into disjoint family: {fam_a} vs {fam_b} via ' || r.dst
+          FROM rel r
+          WHERE r.src IN (SELECT name FROM d_a) AND r.dst IN (SELECT name FROM d_b)
+          UNION ALL
+          SELECT DISTINCT 'disjoint_family_bridge', r.src,
+                 r.rel_type || ' into disjoint family: {fam_b} vs {fam_a} via ' || r.dst
+          FROM rel r
+          WHERE r.src IN (SELECT name FROM d_b) AND r.dst IN (SELECT name FROM d_a)
+        ) dr
+    """
+
+
 def _q_qa_corpus_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A18: run all 29 reference QA queries (as SQL views) over the
     inline graph; per-query status + row count. The oracle re-runs the
@@ -931,6 +1029,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_label_centroid_norms": _q_emb_label_centroid_norms,
         # QA corpus evaluator (A18) + schema validation
         "qa_corpus_eval": _q_qa_corpus_eval,
+        "graph_consistency": _q_graph_consistency,
         "schema_validation": _q_schema_validation,
         # sketch/ANN ops (oracled against exact SQL twins — see docstrings)
         "minhash_near_dups": _q_minhash_near_dups,
@@ -1336,6 +1435,7 @@ def oracle_sql() -> dict[str, str]:
             LIMIT 10
         """,
         "qa_corpus_eval": _qa_oracle(),
+        "graph_consistency": _consistency_oracle(),
         "schema_validation": """
             SELECT CASE WHEN doc_id % 7 = 0 THEN ''
                         ELSE 'doc-' || CAST(doc_id AS VARCHAR) END AS object_id,

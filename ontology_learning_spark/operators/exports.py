@@ -86,6 +86,11 @@ def subclass_cycles(edges: DataFrame, max_iter: int = 64) -> DataFrame:
             if pruned.count() == e.count():
                 break
             e = pruned
+    # explicit column order: the trim's semi-join moves the join key
+    # first, and a positional union against (src, dst)-ordered rows
+    # would silently symmetrize the edge set (flagging every weakly-
+    # connected node); unionByName guards the same trap.
+    e = e.select("src", "dst")
     reach = e.localCheckpoint()
     for _ in range(max_iter):
         nxt = (
@@ -93,7 +98,7 @@ def subclass_cycles(edges: DataFrame, max_iter: int = 64) -> DataFrame:
             .join(e.alias("g"), F.col("r.dst") == F.col("g.src"))
             .select(F.col("r.src").alias("src"), F.col("g.dst").alias("dst"))
         )
-        new_reach = reach.union(nxt).distinct().localCheckpoint()
+        new_reach = reach.unionByName(nxt).distinct().localCheckpoint()
         if new_reach.count() == reach.count():
             break
         reach = new_reach

@@ -37,11 +37,35 @@ from ..functions.persistence import materialize
 # carried as arrays and exploded afterwards; clean_text rides along so
 # consumers that need document text (concept context) never rescan the
 # corpus — the whole pipeline makes exactly ONE pass over raw documents.
+#
+# The E2 validity filter and E12 normalization run INSIDE the Python
+# pass, not relationally: surfaces repeat corpus-scale while the
+# distinct-surface vocabulary is tiny, so a per-executor dict turns
+# per-mention regex work into a lookup (Catalyst re-evaluates the
+# regexp chains per row — measured as the top JVM-CPU stage at 80k
+# docs, and the one that inflates worst under high thread counts).
+# Parity: the Python twins (semantics.is_valid_concept /
+# normalize_name) ARE the oracle's functions.
 _EXTRACT_SCHEMA = (
     "doc_id string, clean_text string, "
-    "mentions array<struct<surface:string, char_offset:int>>, "
+    "mentions array<struct<surface:string, norm_surface:string, char_offset:int>>, "
     "triples array<struct<subj:string, pred:string, obj:string>>"
 )
+
+# surface → norm_surface for valid surfaces, None for invalid; shared
+# across batches for the worker's lifetime (vocabulary-bounded).
+_NORM_CACHE: dict[str, str | None] = {}
+_NORM_CACHE_MAX = 4_000_000
+
+
+def _norm_or_none(surface: str) -> str | None:
+    v = _NORM_CACHE.get(surface, "?")
+    if v == "?":
+        v = S.normalize_name(surface) if S.is_valid_concept(surface) else None
+        if len(_NORM_CACHE) >= _NORM_CACHE_MAX:
+            _NORM_CACHE.clear()
+        _NORM_CACHE[surface] = v
+    return v
 
 
 def concat_text_spans(df: DataFrame, spans_col: str = "spans") -> DataFrame:
@@ -77,8 +101,22 @@ def extract(df: DataFrame, surfaces: tuple[str, ...]) -> DataFrame:
                 triples = X.find_relations(text or "", surfaces)
                 out_doc.append(doc_id)
                 out_txt.append(text)
-                out_m.append([(m.surface, m.char_offset) for m in mentions])
-                out_t.append(triples)
+                valid = []
+                for m in mentions:
+                    norm = _norm_or_none(m.surface)
+                    if norm is not None:
+                        valid.append((m.surface, norm, m.char_offset))
+                out_m.append(valid)
+                # E5-adjacent hygiene, same contract as the old
+                # relational triples_table: both endpoints valid,
+                # normalized, and non-self-loop (plural variants can
+                # collapse to self-loops after normalization).
+                vt = []
+                for (a, p, b) in triples:
+                    na, nb = _norm_or_none(a), _norm_or_none(b)
+                    if na is not None and nb is not None and na != nb:
+                        vt.append((na, p, nb))
+                out_t.append(vt)
             yield pd.DataFrame(
                 {"doc_id": out_doc, "clean_text": out_txt,
                  "mentions": out_m, "triples": out_t}
@@ -88,39 +126,29 @@ def extract(df: DataFrame, surfaces: tuple[str, ...]) -> DataFrame:
 
 
 def mentions_table(extracted: DataFrame) -> DataFrame:
-    """Explode mentions, apply E2 validity filter + E12 normalization."""
-    m = extracted.select(
+    """Explode mentions (E2 validity + E12 normalization already
+    applied inside the extraction pass — see _EXTRACT_SCHEMA note)."""
+    return extracted.select(
         "doc_id", F.explode("mentions").alias("m")
     ).select(
         "doc_id",
         F.col("m.surface").alias("surface"),
         F.col("m.char_offset").alias("char_offset"),
-    )
-    return m.where(C.is_valid_concept(F.col("surface"))).withColumn(
-        "norm_surface", C.normalize_name(F.col("surface"))
+        F.col("m.norm_surface").alias("norm_surface"),
     )
 
 
 def triples_table(extracted: DataFrame) -> DataFrame:
-    """Explode relation triples; filter both endpoints; normalize names.
-    Dedup (E5) on (subj, pred, obj)."""
-    t = extracted.select(
+    """Explode relation triples (endpoint validity, normalization and
+    self-loop removal already applied inside the extraction pass)."""
+    return extracted.select(
         "doc_id", F.explode("triples").alias("t")
     ).select(
         "doc_id",
-        F.col("t.subj").alias("subj_raw"),
+        F.col("t.subj").alias("subj"),
         F.col("t.pred").alias("pred"),
-        F.col("t.obj").alias("obj_raw"),
+        F.col("t.obj").alias("obj"),
     )
-    t = t.where(
-        C.is_valid_concept(F.col("subj_raw")) & C.is_valid_concept(F.col("obj_raw"))
-    )
-    return t.select(
-        "doc_id",
-        C.normalize_name(F.col("subj_raw")).alias("subj"),
-        "pred",
-        C.normalize_name(F.col("obj_raw")).alias("obj"),
-    ).where(F.col("subj") != F.col("obj"))  # plural variants can collapse to self-loops
 
 
 def distinct_concepts(mentions: DataFrame) -> DataFrame:

@@ -82,6 +82,15 @@ def run_pipeline(
     catalog = catalog_df if catalog_df is not None else L.prepare_catalog(spark, catalog_rows).cache()
 
     mentions_raw, doc_triples, docs_text = E.extract_pipeline(docs, surfaces)
+    # Materialized ON the critical path (not as a leg): the offers and
+    # tech legs both consume the exploded+normalized mention rows, and
+    # deriving them per leg re-runs the validity/normalize regex chains
+    # over the corpus once per consumer — measured ~15 core-s of
+    # duplicated JVM work per extra consumer at 80k docs, and those
+    # scan-heavy stages are exactly the ones that inflate under high
+    # parallelism (memory-bandwidth-bound, unlike the Python
+    # extraction pass which scales near-perfectly).
+    mentions = materialize(mentions_raw)
 
     # The concept DIMENSION is |vocabulary|-sized, orders of magnitude
     # below the corpus: give its stages (embed UDF, blocked joins,
@@ -94,11 +103,8 @@ def run_pipeline(
     # band parallelism is capped by prepped's partition count.
     vocab_parts = max(2, spark.sparkContext.defaultParallelism // 2)
 
-    # Four independent legs fan out from the pinned extraction output
-    # (module docstring). Each leg re-derives the narrow explode/filter
-    # projection it needs from the checkpoint rather than waiting on a
-    # shared mentions materialization — the explode is cheap; the
-    # serialization wasn't. Each leg runs in its own FAIR-scheduler
+    # Three independent legs fan out from the pinned mentions table
+    # (module docstring). Each leg runs in its own FAIR-scheduler
     # pool (created on demand, equal weight) so the legs share task
     # slots instead of queueing FIFO behind the first-submitted job;
     # setLocalProperty is per-thread (pinned-thread mode).
@@ -113,14 +119,8 @@ def run_pipeline(
                 sc.setLocalProperty("spark.scheduler.pool", None)
         return run
 
-    def leg_mentions() -> DataFrame:
-        # The corpus-sized mentions table (a PipelineResult deliverable
-        # and the A-series analytics input); nothing on the linking
-        # critical path waits for it.
-        return materialize(mentions_raw)
-
     def leg_offers() -> tuple[DataFrame, DataFrame, DataFrame]:
-        concepts = E.distinct_concepts(mentions_raw).repartition(vocab_parts)
+        concepts = E.distinct_concepts(mentions).repartition(vocab_parts)
         # Eagerly pinned: FIVE match bands consume prepped concurrently.
         prepped = materialize(L.prepare_concepts(concepts))
         # The four bands that need only prepped (M2/M3/M5) score here,
@@ -130,7 +130,7 @@ def run_pipeline(
 
     def leg_tech() -> tuple[DataFrame, DataFrame]:
         # E7/E9: concept context → technical props → M4 band.
-        context = EN.concept_context(mentions_raw, docs_text)
+        context = EN.concept_context(mentions, docs_text)
         props = materialize(EN.extract_properties(context).drop("context"))
         return props, materialize(L.technical_matches(props, catalog))
 
@@ -139,18 +139,18 @@ def run_pipeline(
         # (subj, pred, obj) dropDuplicates anyway, so distincting here
         # is output-invariant and keeps the final assembly job
         # vocabulary-sized instead of rescanning the corpus-sized
-        # extraction output on the critical path.
+        # extraction output on the critical path. Reads its own narrow
+        # projection of the extraction checkpoint (the triples arrays),
+        # not the mentions table.
         return materialize(doc_triples.select("subj", "pred", "obj").distinct())
 
-    with ThreadPoolExecutor(max_workers=4) as pool:
-        f_mentions = pool.submit(_pooled("leg-mentions", leg_mentions))
+    with ThreadPoolExecutor(max_workers=3) as pool:
         f_offers = pool.submit(_pooled("leg-offers", leg_offers))
         f_tech = pool.submit(_pooled("leg-tech", leg_tech))
         f_triples = pool.submit(_pooled("leg-triples", leg_triples))
         concepts, prepped, offers = f_offers.result()
         props, tech_offers = f_tech.result()
         extracted_triples = f_triples.result()
-        mentions = f_mentions.result()
 
     all_offers = offers.unionByName(tech_offers)
     # Full top-10 ranking is a lazy deliverable (analytics/A14 read it);

@@ -36,6 +36,26 @@ def build_session(
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
+    )
+    if master.startswith("local-cluster"):
+        # multi-executor-JVM local mode (the honest sandbox stand-in
+        # for N vs 4N executors): executors are separate processes, so
+        # they need the package on their Python path and a real
+        # executor memory setting.
+        import pathlib
+
+        repo_root = str(pathlib.Path(__file__).resolve().parent.parent)
+        builder = (
+            builder.config("spark.executorEnv.PYTHONPATH", repo_root)
+            .config("spark.executor.memory",
+                    os.environ.get("SPARK_EXECUTOR_MEM", "4g"))
+            # every executor is localhost: waiting for data-local slots
+            # only stalls small stages (measured ~30s/run of pure
+            # locality wait at defaults)
+            .config("spark.locality.wait", "0s")
+        )
+    builder = (
+        builder
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         # FAIR job scheduling: the flagship pipeline materializes its
         # independent legs from concurrent driver threads (each in its
