@@ -752,6 +752,17 @@ def _consistency_oracle() -> str:
     """
 
 
+def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters: LSH pairs → exact verify → connected
+    components (M13 machinery) → (canonical_id, cluster_size). Oracle:
+    exact all-pairs Jaccard >= 0.9 + 6 rounds of unrolled min-label
+    propagation (cluster diameter in the driver corpus is <= 2; six
+    rounds covers diameter 6)."""
+    from ontology_learning_spark.operators.dedup import dedup_clusters
+
+    return dedup_clusters(_docs(spark, sf_dir), threshold=0.9)
+
+
 def _q_qa_corpus_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A18: run all 29 reference QA queries (as SQL views) over the
     inline graph; per-query status + row count. The oracle re-runs the
@@ -1029,6 +1040,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_label_centroid_norms": _q_emb_label_centroid_norms,
         # QA corpus evaluator (A18) + schema validation
         "qa_corpus_eval": _q_qa_corpus_eval,
+        "dedup_clusters": _q_dedup_clusters,
         "graph_consistency": _q_graph_consistency,
         "schema_validation": _q_schema_validation,
         # sketch/ANN ops (oracled against exact SQL twins — see docstrings)
@@ -1435,6 +1447,57 @@ def oracle_sql() -> dict[str, str]:
             LIMIT 10
         """,
         "qa_corpus_eval": _qa_oracle(),
+        "dedup_clusters": '''
+            WITH toks AS (
+              SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t FROM documents
+            ), sh AS (
+              SELECT doc_id,
+                     list_distinct(CASE WHEN len(t) >= 3 THEN
+                       list_transform(range(1, len(t) - 1),
+                                      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+                     ELSE [] END) AS sh
+              FROM toks
+            ), nz AS (
+              SELECT * FROM sh WHERE len(sh) > 0
+            ), pairs AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM nz a JOIN nz b ON a.doc_id < b.doc_id
+              WHERE len(list_intersect(a.sh, b.sh))
+                    / CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE) >= 0.9
+            ), und AS (
+              SELECT id_a AS a, id_b AS b FROM pairs
+              UNION ALL SELECT id_b, id_a FROM pairs
+            ), l0 AS (
+              SELECT DISTINCT a AS node, a AS lbl FROM und
+            ), l1 AS (
+              SELECT l.node, LEAST(MIN(l.lbl), COALESCE(MIN(nl.lbl), MIN(l.lbl))) AS lbl
+              FROM l0 l LEFT JOIN und u ON u.a = l.node LEFT JOIN l0 nl ON nl.node = u.b
+              GROUP BY l.node
+            ), l2 AS (
+              SELECT l.node, LEAST(MIN(l.lbl), COALESCE(MIN(nl.lbl), MIN(l.lbl))) AS lbl
+              FROM l1 l LEFT JOIN und u ON u.a = l.node LEFT JOIN l1 nl ON nl.node = u.b
+              GROUP BY l.node
+            ), l3 AS (
+              SELECT l.node, LEAST(MIN(l.lbl), COALESCE(MIN(nl.lbl), MIN(l.lbl))) AS lbl
+              FROM l2 l LEFT JOIN und u ON u.a = l.node LEFT JOIN l2 nl ON nl.node = u.b
+              GROUP BY l.node
+            ), l4 AS (
+              SELECT l.node, LEAST(MIN(l.lbl), COALESCE(MIN(nl.lbl), MIN(l.lbl))) AS lbl
+              FROM l3 l LEFT JOIN und u ON u.a = l.node LEFT JOIN l3 nl ON nl.node = u.b
+              GROUP BY l.node
+            ), l5 AS (
+              SELECT l.node, LEAST(MIN(l.lbl), COALESCE(MIN(nl.lbl), MIN(l.lbl))) AS lbl
+              FROM l4 l LEFT JOIN und u ON u.a = l.node LEFT JOIN l4 nl ON nl.node = u.b
+              GROUP BY l.node
+            ), l6 AS (
+              SELECT l.node, LEAST(MIN(l.lbl), COALESCE(MIN(nl.lbl), MIN(l.lbl))) AS lbl
+              FROM l5 l LEFT JOIN und u ON u.a = l.node LEFT JOIN l5 nl ON nl.node = u.b
+              GROUP BY l.node
+            )
+            SELECT CAST(MIN(node) AS BIGINT) AS canonical_id,
+                   CAST(COUNT(*) AS INT) AS cluster_size
+            FROM l6 GROUP BY lbl HAVING COUNT(*) >= 2
+        ''',
         "graph_consistency": _consistency_oracle(),
         "schema_validation": """
             SELECT CASE WHEN doc_id % 7 = 0 THEN ''

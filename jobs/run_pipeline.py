@@ -58,7 +58,10 @@ def main() -> None:
     store = StageStore(spark, out, args.run_id)
     # triples partitioned by predicate, edges by rel_type: queries that
     # filter a relation class (the common §2.5 shape) prune partitions.
-    triples_df = store.materialize("triples", lambda: result.triples, partition_by=["pred"])
+    # The triples stage commits PER PARTITION (materialize_by_partition):
+    # a failure mid-stage loses only the uncommitted predicates and a
+    # resume recomputes exactly those (failure-injection pytest).
+    triples_df = store.materialize_by_partition("triples", lambda: result.triples, "pred")
     tasks_df = store.materialize("tasks", lambda: result.tasks)
     store.materialize("mappings", lambda: result.mappings)
     store.materialize("decisions", lambda: result.decisions)

@@ -248,6 +248,49 @@ def simhash64_udf(texts: pd.Series) -> pd.Series:
     return pd.Series(out)
 
 
+def dedup_clusters(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.9,
+    shingle_n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+) -> DataFrame:
+    """Near-dup CLUSTERS: LSH candidate pairs → exact-Jaccard verify →
+    connected components → one representative per cluster.
+
+    This is the step a training-data pipeline actually runs after pair
+    detection: transitive near-dup groups collapse to one kept document
+    (representative = min id here; swap the min for a quality-score
+    argmax to keep the best member). The component step reuses the M13
+    canonicalization machinery (iterative min-label propagation — no
+    per-row Python), so cluster chains (a~b~c without a~c clearing the
+    threshold) still collapse to one group.
+
+    Returns (canonical_id, cluster_size) for clusters of size ≥ 2.
+    Ids travel through the label propagation as zero-padded strings so
+    lexicographic min == numeric min.
+    """
+    from .canonicalize import connected_components
+
+    pairs = ngram_jaccard_pairs(df, text_col, id_col, threshold,
+                                shingle_n, num_hashes, bands)
+    pad = F.lpad(F.col("id_a").cast("string"), 20, "0")
+    pad_b = F.lpad(F.col("id_b").cast("string"), 20, "0")
+    edges = pairs.select(pad.alias("src"), pad_b.alias("dst"))
+    cc = connected_components(edges)
+    return (
+        cc.groupBy("component")
+        .agg(
+            F.min(F.col("node").cast("bigint")).alias("canonical_id"),
+            F.count("*").alias("cluster_size"),
+        )
+        .where(F.col("cluster_size") >= 2)
+        .select("canonical_id", F.col("cluster_size").cast("int").alias("cluster_size"))
+    )
+
+
 def simhash_near_dups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                       max_hamming: int = 3) -> DataFrame:
     """Near-dup pairs by SimHash: block on 4×16-bit chunks (pigeonhole:

@@ -124,6 +124,32 @@ def test_domain_range_violations(spark):
     assert rep.count() == 0
 
 
+def test_dedup_clusters_transitive_chain(spark):
+    """a~b and b~c clear the threshold while a~c does NOT — the cluster
+    operator must still collapse all three into one group (connected
+    components, not pairwise grouping)."""
+    from ontology_learning_spark.operators.dedup import dedup_clusters, jaccard_verify
+
+    words = "alpha beta gamma delta epsilon zeta eta theta iota kappa lam mu".split()
+    doc_a = " ".join(words)
+    doc_b = " ".join(words[:-1] + ["xx"])          # tail change: high J vs a
+    doc_c = " ".join(["yy"] + words[1:-1] + ["xx"])  # head change vs b: high J vs b, lower vs a
+    rows = [(1, doc_a), (2, doc_b), (3, doc_c), (4, "totally different text about antennas and resistors here")]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    # pick a threshold between J(a,c) and min(J(a,b), J(b,c))
+    from ontology_learning_spark.operators.dedup import word_shingles
+    import itertools
+    from pyspark.sql import functions as FF
+    sh = {r["doc_id"]: set(r["s"]) for r in df.select("doc_id", word_shingles(FF.col("text")).alias("s")).collect()}
+    def j(x, y):
+        return len(sh[x] & sh[y]) / len(sh[x] | sh[y])
+    jab, jbc, jac = j(1, 2), j(2, 3), j(1, 3)
+    assert jac < min(jab, jbc), (jab, jbc, jac)
+    th = (jac + min(jab, jbc)) / 2
+    out = dedup_clusters(df, threshold=th).collect()
+    assert [(r["canonical_id"], r["cluster_size"]) for r in out] == [(1, 3)]
+
+
 def test_q16_bfs_bounded_on_dense_graph(spark):
     """The shortest-path view must stay polynomial on a near-clique
     (the old all-simple-paths walk was exponential): 40-node clique
