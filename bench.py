@@ -62,7 +62,7 @@ def _host_weather(c0: list[int], c1: list[int]) -> tuple[float, float]:
 
 def run_suite(master: str, sf_dir: str, pipeline_only: bool = False,
               n_docs_override: int | None = None,
-              corpus_parquet: str | None = None, n_runs: int = 3) -> dict:
+              corpus_parquet: str | None = None, n_runs: int = 4) -> dict:
     import __spark_entry__ as entry_mod
     from ontology_learning_spark.session import build_session
 
@@ -123,10 +123,10 @@ def run_suite(master: str, sf_dir: str, pipeline_only: bool = False,
     run_pipeline(spark, warm, catalog_df=catalog).triples.count()
     warm.unpersist()
 
-    # min-of-3: C2 JIT compilation of the hot generated code needs a
+    # min-of-4: C2 JIT compilation of the hot generated code needs a
     # couple of full-size runs to settle (measured: 8.3 → 8.2 → 6.4 →
     # 6.3 s), and the min is also robust against transient host-CPU
-    # steal on this VM.
+    # steal on this VM (allotment drifts on ~10s timescales).
     walls = []
     res = None
     c0 = _host_counters()
@@ -312,7 +312,7 @@ def main() -> None:
     ap.add_argument("--pipeline-only", action="store_true")
     ap.add_argument("--n-docs", type=int, default=None)
     ap.add_argument("--corpus-parquet", default=None)
-    ap.add_argument("--runs", type=int, default=3)
+    ap.add_argument("--runs", type=int, default=4)
     args = ap.parse_args()
     if args.scaling:
         scaling_mode(args.sf_dir)
