@@ -452,7 +452,9 @@ def base_match_offers(prepped_df: DataFrame, catalog: DataFrame,
     """The four bands that need only the prepped concepts (M2, M3-exact,
     M3-fuzzy, M5) — separated from the M4 technical band so the driver
     can materialize them concurrently with the context→props leg that
-    feeds M4 (see plans/pipeline.py)."""
+    feeds M4 (see plans/pipeline.py). Union-of-methods semantics per
+    ref src/ontology_extension_manager.py:225-249 (behavior studied,
+    no code copied)."""
     th = thresholds or S.DEFAULT_THRESHOLDS
     blocked = _blocked_pairs(prepped_df, catalog)
     return (
