@@ -927,7 +927,9 @@ def _q_emb_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ontology_learning_spark.operators.simsearch import embedding_near_dups
 
     aug = _aug_embeddings(spark, sf_dir)
-    return embedding_near_dups(aug, threshold=0.9, bands=8, rows_per_band=6).select(
+    # bands/rows auto-sized from count+threshold (lsh_plan): exercises
+    # the scale-parameterized default the 100 TB path would use
+    return embedding_near_dups(aug, threshold=0.9).select(
         "id_a", "id_b", F.round("cosine_sim", 4).alias("cosine_sim")
     )
 
@@ -940,7 +942,8 @@ def _q_emb_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     aug = _aug_embeddings(spark, sf_dir)
     qvec = [float(x) for x in aug.where(F.col("vec_id") == 0).first()["embedding"]]
-    return lsh_banded_topk(aug, qvec, k=10, bands=8, rows_per_band=6).select(
+    # auto-sized band geometry (lsh_plan) — the scale-parameterized default
+    return lsh_banded_topk(aug, qvec, k=10).select(
         "vec_id", F.round("cosine_sim", 4).alias("cosine_sim")
     )
 

@@ -71,11 +71,22 @@ def _with_partition_offsets(df: DataFrame, order_col: str, agg_col,
     off_type = "double" if agg_type == "float" else agg_type
     totals = totals_df.collect()
     totals_by_pid = {r["_pid"]: r["_t"] for r in totals}
-    rows, acc = [], (0.0 if off_type == "double" else 0)
+    # The zero accumulator must carry the offset column's Python type:
+    # the createDataFrame verifier rejects int 0 for double/decimal
+    # offsets (bites on empty inputs and on the first partition's row).
+    if off_type == "double":
+        zero = 0.0
+    elif off_type.startswith("decimal"):
+        from decimal import Decimal
+
+        zero = Decimal(0)
+    else:
+        zero = 0
+    rows, acc = [], zero
     for pid in sorted(totals_by_pid):
         rows.append((pid, acc))
-        acc += totals_by_pid[pid] or 0
-    offsets = spark.createDataFrame(rows or [(0, 0)], f"_pid int, _off {off_type}")
+        acc += totals_by_pid[pid] or zero
+    offsets = spark.createDataFrame(rows or [(0, zero)], f"_pid int, _off {off_type}")
     return part, F.broadcast(offsets)
 
 

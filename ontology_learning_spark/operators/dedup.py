@@ -269,21 +269,35 @@ def dedup_clusters(
     threshold) still collapse to one group.
 
     Returns (canonical_id, cluster_size) for clusters of size ≥ 2.
-    Ids travel through the label propagation as zero-padded strings so
-    lexicographic min == numeric min.
+
+    Id contract: ids travel through the label propagation as 20-char
+    zero-padded strings, and the representative is the member whose
+    padded form is lexicographically minimal — for non-negative integer
+    ids up to 20 digits (the documents table case) that IS the numeric
+    min. Other id types (strings, negatives) still get a deterministic
+    representative in its ORIGINAL dtype (min_by on the raw value — no
+    bigint cast that would NULL out non-numeric ids), but the "min"
+    ordering is the padded-string order, not numeric.
     """
     from .canonicalize import connected_components
 
     pairs = ngram_jaccard_pairs(df, text_col, id_col, threshold,
                                 shingle_n, num_hashes, bands)
-    pad = F.lpad(F.col("id_a").cast("string"), 20, "0")
-    pad_b = F.lpad(F.col("id_b").cast("string"), 20, "0")
-    edges = pairs.select(pad.alias("src"), pad_b.alias("dst"))
+    _pad = lambda c: F.lpad(F.col(c).cast("string"), 20, "0")
+    edges = pairs.select(_pad("id_a").alias("src"), _pad("id_b").alias("dst"))
+    # padded label → raw id (original dtype), for representative recovery
+    idmap = (
+        pairs.select(F.col("id_a").alias("raw"))
+        .unionByName(pairs.select(F.col("id_b").alias("raw")))
+        .distinct()
+        .select("raw", F.lpad(F.col("raw").cast("string"), 20, "0").alias("node"))
+    )
     cc = connected_components(edges)
     return (
-        cc.groupBy("component")
+        cc.join(idmap, "node")
+        .groupBy("component")
         .agg(
-            F.min(F.col("node").cast("bigint")).alias("canonical_id"),
+            F.min_by("raw", "node").alias("canonical_id"),
             F.count("*").alias("cluster_size"),
         )
         .where(F.col("cluster_size") >= 2)
@@ -291,24 +305,81 @@ def dedup_clusters(
     )
 
 
+def _block_widths(m: int) -> list[int]:
+    """Near-even split of the 64 signature bits into m blocks."""
+    base, rem = divmod(64, m)
+    return [base + (1 if i < rem else 0) for i in range(m)]
+
+
+def pick_simhash_blocks(n: int, max_hamming: int = 3, max_blocks: int = 8) -> int:
+    """Smallest block count m (> max_hamming) whose table key carries
+    ≥ log2(n)+2 bits — the scale dial of the multi-table scheme.
+
+    With m blocks and hamming radius k, each table keys on an
+    (m-k)-block combination; its worst-case key width is the sum of the
+    m-k narrowest blocks. m=4 (the old fixed 4x16 layout) gives 16-bit
+    keys — only 2^16 buckets, so expected random-pair collisions per
+    table are n²/2^16, quadratic past ~10^5 docs. m=5 → 25-bit keys
+    (10 tables), m=8 → 40-bit keys (56 tables): table count grows
+    C(m, m-k) but candidate volume stays ~tables · n²/2^key_bits,
+    linear in n while n ≲ 2^(key_bits-2) (Manku et al., WWW'07).
+    """
+    import math
+
+    target = math.log2(max(n, 2)) + 2
+    for m in range(max_hamming + 1, max_blocks + 1):
+        widths = sorted(_block_widths(m))
+        if sum(widths[: m - max_hamming]) >= target:
+            return m
+    return max_blocks
+
+
+def simhash_blocking_keys(sig_col, m: int, max_hamming: int = 3):
+    """Array of (tbl, key) structs for the multi-table pigeonhole
+    blocking: hamming ≤ k ⇒ ≥ m-k of the m blocks agree ⇒ at least one
+    (m-k)-block combination matches exactly, so candidates joined on
+    (tbl, key) have EXACT recall — the blocking is a partition trick,
+    not an approximation. Keys are the selected block values packed
+    into one long (≤ 40 bits at m ≤ 8); plain codegen arithmetic."""
+    import itertools
+
+    widths = _block_widths(m)
+    shifts = [sum(widths[:i]) for i in range(m)]
+    keys = []
+    for t, combo in enumerate(itertools.combinations(range(m), m - max_hamming)):
+        key = F.lit(0).cast("long")
+        off = 0
+        for i in combo:
+            # arithmetic shiftright sign-extends the high block, but the
+            # mask keeps exactly the true block bits
+            bv = F.shiftright(sig_col, shifts[i]).bitwiseAND(F.lit((1 << widths[i]) - 1))
+            key = key + bv * F.lit(1 << off)
+            off += widths[i]
+        keys.append(F.struct(F.lit(t).alias("tbl"), key.alias("key")))
+    return F.array(*keys)
+
+
 def simhash_near_dups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-                      max_hamming: int = 3) -> DataFrame:
-    """Near-dup pairs by SimHash: block on 4×16-bit chunks (pigeonhole:
-    hamming<=3 ⇒ at least one of 4 chunks equal), verify hamming."""
+                      max_hamming: int = 3, blocks: int | None = None) -> DataFrame:
+    """Near-dup pairs by SimHash, multi-table pigeonhole blocking.
+
+    ``blocks`` (m) defaults to ``pick_simhash_blocks(count)`` so the
+    table-key width tracks log2(n)+2 — the fixed 4x16-bit chunk layout
+    this replaces kept only 2^16 buckets per table and went quadratic
+    past ~10^5 docs. The output is invariant to m (exact pigeonhole +
+    exact hamming verify), so changing the block count never changes
+    results, only the candidate volume. Auto-sizing costs one
+    df.count(); pass ``blocks`` explicitly to skip it.
+    """
+    m = blocks or pick_simhash_blocks(df.count(), max_hamming)
     sig = df.select(F.col(id_col).alias("id"), simhash64_udf(F.col(text_col)).alias("sig"))
-    chunks = sig.select(
+    tabled = sig.select(
         "id", "sig",
-        F.explode(
-            F.array(*[
-                F.struct(F.lit(c).alias("chunk"),
-                         F.shiftright("sig", c * 16).bitwiseAND(F.lit(0xFFFF)).alias("ch"))
-                for c in range(4)
-            ])
-        ).alias("cc"),
-    ).select("id", "sig", F.col("cc.chunk").alias("chunk"), F.col("cc.ch").alias("ch"))
-    a, b = chunks.alias("a"), chunks.alias("b")
+        F.explode(simhash_blocking_keys(F.col("sig"), m, max_hamming)).alias("tk"),
+    ).select("id", "sig", F.col("tk.tbl").alias("tbl"), F.col("tk.key").alias("key"))
+    a, b = tabled.alias("a"), tabled.alias("b")
     cand = (
-        a.join(b, (F.col("a.chunk") == F.col("b.chunk")) & (F.col("a.ch") == F.col("b.ch"))
+        a.join(b, (F.col("a.tbl") == F.col("b.tbl")) & (F.col("a.key") == F.col("b.key"))
                & (F.col("a.id") < F.col("b.id")))
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
                 F.col("a.sig").alias("sig_a"), F.col("b.sig").alias("sig_b"))

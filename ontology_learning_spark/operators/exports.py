@@ -73,6 +73,10 @@ def subclass_cycles(edges: DataFrame, max_iter: int = 64) -> DataFrame:
         edges.where(F.col("rel_type") == "SUBCLASS_OF")
         .select("src", "dst").distinct().localCheckpoint()
     )
+    # Convergence checks track the edge count in Python: one count()
+    # action per peel round (the previous round's count is remembered),
+    # not a pruned-vs-current pair of jobs per round.
+    n_edges = e.count()
     for out_col, in_col in (("src", "dst"), ("dst", "src")):
         for _ in range(max_iter):
             nodes_out = e.select(F.col(out_col).alias("n")).distinct()
@@ -83,15 +87,17 @@ def subclass_cycles(edges: DataFrame, max_iter: int = 64) -> DataFrame:
             pruned = e.join(
                 survivors.withColumnRenamed("n", in_col), in_col, "left_semi"
             ).localCheckpoint()
-            if pruned.count() == e.count():
+            n_pruned = pruned.count()
+            if n_pruned == n_edges:
                 break
-            e = pruned
+            e, n_edges = pruned, n_pruned
     # explicit column order: the trim's semi-join moves the join key
     # first, and a positional union against (src, dst)-ordered rows
     # would silently symmetrize the edge set (flagging every weakly-
     # connected node); unionByName guards the same trap.
     e = e.select("src", "dst")
     reach = e.localCheckpoint()
+    n_reach = reach.count()
     for _ in range(max_iter):
         nxt = (
             reach.alias("r")
@@ -99,9 +105,10 @@ def subclass_cycles(edges: DataFrame, max_iter: int = 64) -> DataFrame:
             .select(F.col("r.src").alias("src"), F.col("g.dst").alias("dst"))
         )
         new_reach = reach.unionByName(nxt).distinct().localCheckpoint()
-        if new_reach.count() == reach.count():
+        n_new = new_reach.count()
+        if n_new == n_reach:
             break
-        reach = new_reach
+        reach, n_reach = new_reach, n_new
     return (
         reach.where(F.col("src") == F.col("dst"))
         .select(F.col("src").alias("name"))

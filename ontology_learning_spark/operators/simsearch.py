@@ -72,6 +72,44 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
     return rng.randn(n_planes, dim).astype(np.float64)
 
 
+def lsh_plan(n: int, threshold: float, target_recall: float = 0.99,
+             max_bands: int = 128) -> tuple[int, int]:
+    """Scale-aware (bands, rows_per_band) for banded hyperplane LSH.
+
+    Sizing rule (the fixed 8x6 default was sandbox-tuned — a 6-bit band
+    key has 64 values, so random pairs collide per band at 2^-6 and the
+    candidate set is ~n²/8, order-all-pairs at large n):
+
+    - ``rows_per_band`` r ≈ log2(n)+2: random (cosine≈0) pairs collide
+      per band with p=2^-r ≈ 1/(4n), so the expected random-collision
+      candidate count is ~bands·n/4 — linear in n, not quadratic.
+    - ``bands`` b = ln(1/(1-recall)) / p_bit^r with
+      p_bit = 1-acos(threshold)/π (the collision probability of a pair
+      AT the threshold), so a threshold-grade pair is missed with
+      probability ≤ 1-target_recall; true near-dups (cos≥0.99) are
+      missed with far lower probability still.
+    - b is capped at ``max_bands`` (signature cost is b·r hyperplane
+      dots per vector); when the cap binds, r is walked back until the
+      recall target fits, trading candidate linearity for recall —
+      candidates then grow as b·n²/2^r, which stays ~O(n·b) while
+      n ≲ 2^r. For corpora beyond that at low thresholds, raise
+      ``max_bands`` or the threshold (inherent random-hyperplane LSH
+      cost, not a tuning artifact).
+    """
+    import math
+
+    p_bit = 1 - math.acos(min(max(threshold, -1.0), 1.0)) / math.pi
+    miss = max(1e-12, 1.0 - target_recall)
+    r = max(4, math.ceil(math.log2(max(n, 2))) + 2)
+    while r > 4:
+        b = math.ceil(math.log(1 / miss) / (p_bit ** r))
+        if b <= max_bands:
+            break
+        r -= 1
+    b = min(max_bands, max(4, math.ceil(math.log(1 / miss) / (p_bit ** r))))
+    return b, r
+
+
 def lsh_signatures(
     df: DataFrame,
     dim: int,
@@ -165,11 +203,12 @@ def lsh_banded_topk(
     df: DataFrame,
     query_vec: list[float],
     k: int = 10,
-    bands: int = 8,
-    rows_per_band: int = 6,
+    bands: int | None = None,
+    rows_per_band: int | None = None,
     seed: int = 42,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    recall_threshold: float = 0.9,
 ) -> DataFrame:
     """ANN top-k via banded OR-construction: candidates = vectors
     sharing ANY of the query's ``bands`` signatures, then exact cosine
@@ -178,7 +217,16 @@ def lsh_banded_topk(
     differs by >multiprobe bits (miss probability for a cos>=0.99
     neighbor at 8x6 is (1-0.986^6)^8 ~ 2e-9 vs ~unbounded for fixed-
     radius probing). At scale the signature table is precomputed and
-    partitioned by (band, sig) so the probe is partition pruning."""
+    partitioned by (band, sig) so the probe is partition pruning.
+
+    ``bands``/``rows_per_band`` default to ``lsh_plan(count,
+    recall_threshold)`` — candidate volume stays ~O(n·bands/4) instead
+    of n/2^6-per-band at the old fixed 8x6 (one df.count() to size;
+    pass both explicitly to skip)."""
+    if bands is None or rows_per_band is None:
+        auto_b, auto_r = lsh_plan(df.count(), recall_threshold)
+        bands = bands if bands is not None else auto_b
+        rows_per_band = rows_per_band if rows_per_band is not None else auto_r
     dim = len(query_vec)
     planes = _hyperplanes(dim, bands * rows_per_band, seed)
     bits = (planes @ np.asarray(query_vec, dtype=np.float64)) > 0
@@ -198,8 +246,8 @@ def lsh_banded_topk(
 def embedding_near_dups(
     df: DataFrame,
     threshold: float = 0.9,
-    bands: int = 8,
-    rows_per_band: int = 6,
+    bands: int | None = None,
+    rows_per_band: int | None = None,
     seed: int = 42,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
@@ -208,15 +256,25 @@ def embedding_near_dups(
     (union of per-band bucket matches, deduped BEFORE vectors are
     fetched) → exact cosine verify >= threshold.
 
-    Recall = 1-(1-p_bit^r)^b with p_bit = 1-acos(c)/pi: at the 8x6
-    default, 0.982 for cosine 0.90 pairs, 0.9976 at 0.95, ~1-1e-9 for
-    true near-dups (c>=0.99). Random pairs (c~0) collide in a band with
-    p=2^-6, so candidates stay ~11% of pairs worst-case — the verify
-    never scans all pairs, and at scale the band self-join keys are
-    uniform by construction (no skew). Fixes the round-1 single-band
-    AND-construction whose recall was ~28% (VERDICT.md #4; ADVICE #1).
-    Reference parity: dedup intent of src/ontology_extension_manager.py
-    find_similar (behavior studied, no code copied)."""
+    Band geometry defaults to ``lsh_plan(count, threshold)`` — band key
+    width ≈ log2(n)+2 bits so random-pair collisions stay ~O(n·bands)
+    (the old fixed 8x6 default had 64 bucket values per band, i.e.
+    ~n²/8 candidates on an unstructured corpus — quadratic at scale),
+    and the band count is solved from the recall target at the
+    threshold: recall = 1-(1-p_bit^r)^b with p_bit = 1-acos(c)/π, ≥0.99
+    for threshold-grade pairs and ~1-1e-9 for true near-dups (c≥0.99).
+    The auto-sizing costs one df.count() — pass explicit
+    ``bands``/``rows_per_band`` to skip it (sizing rule in
+    ``lsh_plan``'s docstring). The verify never scans all pairs, and at
+    scale the band self-join keys are uniform by construction (no
+    skew). Fixes the round-1 single-band AND-construction whose recall
+    was ~28% (VERDICT.md #4; ADVICE #1). Reference parity: dedup intent
+    of src/ontology_extension_manager.py find_similar (behavior
+    studied, no code copied)."""
+    if bands is None or rows_per_band is None:
+        auto_b, auto_r = lsh_plan(df.count(), threshold)
+        bands = bands if bands is not None else auto_b
+        rows_per_band = rows_per_band if rows_per_band is not None else auto_r
     sig = lsh_band_signatures(
         df, _first_dim(df, vec_col), bands, rows_per_band, seed, vec_col, id_col
     )

@@ -138,19 +138,36 @@ class StageStore:
         """
         if self.is_done(stage):
             return self.read(stage)
+        from urllib.parse import quote
+
         t0 = time.time()
         df = df_fn()
-        values = sorted(
-            str(r[0]) for r in df.select(partition_col).distinct().collect()
-            if r[0] is not None
-        )
+        raw_values = [
+            r[0] for r in df.select(partition_col).distinct().collect()
+        ]
+        # NULL partition values have no directory to land in here — the
+        # whole-stage materialize() path puts them in Hive's default
+        # partition, but a silent drop in THIS path would lose rows, so
+        # refuse loudly and let the caller coalesce to a sentinel first.
+        if any(v is None for v in raw_values):
+            raise ValueError(
+                f"materialize_by_partition({stage!r}): NULL values in "
+                f"partition column {partition_col!r}; coalesce them to a "
+                "sentinel value before partition-granular materialization"
+            )
+        values = sorted(str(v) for v in raw_values)
+        part_dtype = df.schema[partition_col].dataType
         done = self.manifest.committed_partitions(self.run_id, stage)
         total_rows = 0
         for v in values:
             if v in done:
                 continue
             tp = time.time()
-            part_path = f"{self._path(stage)}/{partition_col}={v}"
+            # URL-escape the path segment the way Spark's partitioned
+            # writer does (ExternalCatalogUtils.escapePathName): a raw
+            # '/', '=', or '%' in the value would corrupt the layout.
+            # Partition discovery unescapes on read, so values round-trip.
+            part_path = f"{self._path(stage)}/{partition_col}={quote(v, safe='')}"
             part_df = df.where(F.col(partition_col).cast("string") == v).drop(partition_col)
             part_df.write.mode("overwrite").parquet(part_path)
             n = self.spark.read.parquet(part_path).count()
@@ -159,7 +176,12 @@ class StageStore:
                 self.run_id, stage, n, (time.time() - tp) * 1000,
                 extra={"partition": v},
             )
-        out = self.spark.read.parquet(self._path(stage))
+        # Partition discovery re-infers the partition column's type from
+        # the path strings (a numeric-looking string column would come
+        # back as int); pin it back to the frame's computed dtype.
+        out = self.spark.read.parquet(self._path(stage)).withColumn(
+            partition_col, F.col(partition_col).cast(part_dtype)
+        )
         self.manifest.commit(
             self.run_id, stage, out.count(), (time.time() - t0) * 1000,
             extra={"partitions": {v: None for v in values}},
