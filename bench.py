@@ -45,6 +45,7 @@ BENCH_QUERIES = [
     "graph_descendants",
     "multimodal_decode",
     "schema_validation",
+    "dedup_clusters",
 ]
 
 
@@ -137,6 +138,10 @@ def run_suite(master: str, sf_dir: str, pipeline_only: bool = False,
         walls.append(time.time() - t0)
     steal_pct, idle_pct = _host_weather(c0, _host_counters())
     pipeline_sec = min(walls)
+    # warm mean = runs after the first (run 1 still pays residual C2
+    # compilation of the full-size plans); the driver-facing headline
+    # stays min-of-N, the warm mean tracks VERDICT r3 #4's wall bar.
+    warm_mean = sum(walls[1:]) / (len(walls) - 1) if len(walls) > 1 else walls[0]
     timings["kg_pipeline"] = round(pipeline_sec, 3)
     n_mentions = res.mentions.count()
     n_decisions = res.decisions.count()
@@ -167,6 +172,7 @@ def run_suite(master: str, sf_dir: str, pipeline_only: bool = False,
         "host_steal_pct": steal_pct,
         "host_idle_pct": idle_pct,
         "pipeline_walls": [round(w, 3) for w in walls],
+        "pipeline_wall_warm_mean": round(warm_mean, 3),
     }
     spark.stop()
     return out
@@ -193,8 +199,18 @@ SCALE_N = (4, 16)
 SCALE_CORPUS_MULT = 64  # 64 x 5k = 320k docs at sf0.1
 
 
-def scaling_mode(sf_dir: str) -> None:
-    """Run the pipeline at local[N] and local[4N]; write BENCH/BASELINE.md."""
+def scaling_mode(sf_dir: str, cluster: bool = False, n_rounds: int = 3) -> None:
+    """Run the pipeline at N vs 4N parallelism; write BENCH/BASELINE.md.
+
+    ``cluster=False``: local[4] vs local[16] threads (one JVM per level).
+    ``cluster=True``: local-cluster[4,1,4096] vs local-cluster[16,1,4096]
+    — N separate single-core executor JVMs, the literal sandbox stand-in
+    for "N vs 4N executors" (VERDICT r3 #1): multi-process, so the
+    single-JVM allocator/lock contention that biases thread-mode is
+    absent; the cross-process scheduling overhead that invalidated this
+    mode at 5-80k docs amortizes into the 100+s walls at 320k. Appends
+    its table to BENCH/BASELINE.md instead of rewriting it.
+    """
     # 64x the per-round bench corpus: the north rule grades THROUGHPUT
     # scaling on a 10^12-doc corpus, where per-doc extraction dominates
     # and the corpus-independent planning/linking tail is noise.
@@ -203,6 +219,8 @@ def scaling_mode(sf_dir: str) -> None:
     sf = float(sf_dir.rstrip("/").split("sf")[-1])
     n_docs = SCALE_CORPUS_MULT * max(500, int(50_000 * sf))
     lo, hi = SCALE_N
+    _master = (lambda n: f"local-cluster[{n},1,4096]") if cluster \
+        else (lambda n: f"local[{n}]")
 
     corpus_parquet = f"/tmp/ols_scale_corpus_{n_docs}.parquet"
     if not Path(corpus_parquet).exists():
@@ -218,7 +236,7 @@ def scaling_mode(sf_dir: str) -> None:
     def _one(n: int) -> dict:
         c0 = _host_counters()
         proc = subprocess.run(
-            [sys.executable, __file__, "--master", f"local[{n}]", "--sf-dir", sf_dir,
+            [sys.executable, __file__, "--master", _master(n), "--sf-dir", sf_dir,
              "--pipeline-only", "--corpus-parquet", corpus_parquet, "--runs", "2"],
             capture_output=True, text=True, timeout=3600,
         )
@@ -234,7 +252,7 @@ def scaling_mode(sf_dir: str) -> None:
     # Interleave A/B/A/B/A/B: the host's CPU allotment drifts over
     # minutes, so adjacent-in-time pairs are the only fair comparison.
     rounds: dict[int, list[dict]] = {lo: [], hi: []}
-    for _ in range(3):
+    for _ in range(n_rounds):
         rounds[lo].append(_one(lo))
         rounds[hi].append(_one(hi))
 
@@ -248,6 +266,42 @@ def scaling_mode(sf_dir: str) -> None:
     thr_hi = results[hi]["value"]
     eff = (thr_hi / thr_lo) / (hi / lo) if thr_lo else 0.0
     Path("BENCH").mkdir(exist_ok=True)
+    if cluster:
+        md = [
+            "",
+            f"## Executor-JVM A/B: local-cluster[{lo},1] vs local-cluster[{hi},1] ({n_docs} docs)",
+            "",
+            f"Same corpus/pipeline as above, but {lo} vs {hi} SEPARATE single-core",
+            "executor JVMs (4 GiB each) — the literal N-vs-4N-executor stand-in.",
+            "Multi-process, so the single-JVM allocator/lock contention that biases",
+            "thread-mode away from the job is absent; the cross-process scheduling",
+            "overhead that invalidated this mode at small corpora amortizes into",
+            "the 100+s walls here.",
+            "",
+            "| run | master | triples/sec | wall (s) | docs/sec | host steal % | host idle % |",
+            "|---|---|---|---|---|---|---|",
+        ]
+        for i in range(len(rounds[lo])):
+            for n in (lo, hi):
+                r = rounds[n][i]
+                md.append(
+                    f"| {i + 1} | local-cluster[{n},1] | {r['value']} | {r['queries']['kg_pipeline']} "
+                    f"| {r['docs_per_sec']} | {r['host_steal_pct']} | {r['host_idle_pct']} |"
+                )
+        md += [
+            "",
+            f"**Best-of: {lo} executors = {thr_lo} triples/s, {hi} executors = "
+            f"{thr_hi} triples/s → scaling efficiency = {eff:.3f}**",
+        ]
+        with Path("BENCH/BASELINE.md").open("a") as fh:
+            fh.write("\n".join(md) + "\n")
+        print(json.dumps({
+            "scaling_efficiency": round(eff, 3), "mode": "local-cluster",
+            f"thr{lo}": thr_lo, f"thr{hi}": thr_hi,
+            "runs": [{k: r[k] for k in ("master", "value", "host_steal_pct", "host_idle_pct")}
+                     for rs in rounds.values() for r in rs],
+        }))
+        return
     md = [
         "# BENCH/BASELINE.md — measured throughput + scaling",
         "",
@@ -309,13 +363,17 @@ def main() -> None:
     ap.add_argument("--master", default=f"local[{CPUS}]")
     ap.add_argument("--sf-dir", default=SF_DIR)
     ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--scaling-cluster", action="store_true",
+                    help="N vs 4N single-core executor JVMs (local-cluster)")
+    ap.add_argument("--scaling-rounds", type=int, default=3)
     ap.add_argument("--pipeline-only", action="store_true")
     ap.add_argument("--n-docs", type=int, default=None)
     ap.add_argument("--corpus-parquet", default=None)
     ap.add_argument("--runs", type=int, default=4)
     args = ap.parse_args()
-    if args.scaling:
-        scaling_mode(args.sf_dir)
+    if args.scaling or args.scaling_cluster:
+        scaling_mode(args.sf_dir, cluster=args.scaling_cluster,
+                     n_rounds=args.scaling_rounds)
     else:
         print(json.dumps(run_suite(args.master, args.sf_dir, args.pipeline_only,
                                    args.n_docs, args.corpus_parquet, args.runs)))

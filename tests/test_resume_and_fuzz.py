@@ -91,7 +91,20 @@ def test_global_cumsum_fractional(spark):
     assert got == {k: pytest.approx(0.5 * k) for k in range(1, 21)}
 
 
-SEEDS = list(range(101, 121))  # 20 random corpora
+# 20 random corpora, ROTATING base so successive rounds don't re-test
+# the same inputs (VERDICT r3 #9): the base advances with the ISO week.
+# Failures print the seed list; pin FUZZ_SEED_BASE to reproduce a week's
+# run exactly.
+import datetime as _dt
+import os as _os
+
+_SEED_BASE = int(
+    _os.environ.get(
+        "FUZZ_SEED_BASE",
+        101 + 20 * _dt.date.today().isocalendar().week,
+    )
+)
+SEEDS = list(range(_SEED_BASE, _SEED_BASE + 20))
 
 
 def _assert_parity(res, oracle, label):
