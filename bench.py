@@ -314,18 +314,17 @@ def scaling_mode(sf_dir: str, cluster: bool = False, n_rounds: int = 3) -> None:
         "(measured efficiency vs corpus size: 0.46 @ 80k, 0.55 @ 160k, this",
         "table @ 320k — the tail amortizes as extraction dominates).",
         "",
-        f"Why {lo}/{hi} threads: (a) not 8/32 — /proc/stat steal under full",
-        "32-way load is ~17% with ~27% forced idle (effective capacity ≈ 20",
-        "of 32 vCPUs) and the allotment DRIFTS over minutes; a pure-CPU",
-        "4->16-process control measures 0.83, the honest hardware ceiling.",
-        "(b) not local-cluster executor JVMs — cross-process stage latency",
-        "(locality waits, per-stage coordination) adds ~20s of asymmetric",
-        "overhead to the 4-executor level at sandbox scale, so that ratio",
-        "measures the harness, not the job. Thread-mode's known bias runs the",
-        "OTHER way: profiling shows identical JVM scan stages burn up to 3.3x",
-        "more CPU cycles at 16 threads in one JVM (allocator/lock contention)",
-        "— a multi-JVM cluster does not exhibit this, so the number below",
-        "UNDERSTATES real N->4N executor scaling.",
+        f"Why {lo}/{hi} threads and not 8/32: /proc/stat steal under full",
+        "32-way load reaches ~17% with ~27% forced idle in throttled windows",
+        "and the allotment DRIFTS over minutes; 4/16 keeps the A/B inside the",
+        "host's stable band. The executor-JVM variant (local-cluster[N,1],",
+        "--scaling-cluster) measures the same ratio (0.609 vs 0.590 in round",
+        "4), and per-stage core-second attribution plus two controls (pure-CPU",
+        "4->16 processes: 0.978; 200MB-stream memory-bandwidth control: 0.572,",
+        "the socket saturates ~65 GB/s) localize the ceiling in HOST memory",
+        "bandwidth, not in any pipeline stage — see 'Scaling attribution'",
+        "below. A real N->4N executor scale-out adds nodes and therefore",
+        "memory controllers, so this ceiling does not transfer.",
         "",
         "Every run below records host steal/idle DURING the run; the summary",
         "takes each level's best run (its capacity in the calmest window).",

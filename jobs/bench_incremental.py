@@ -1,0 +1,115 @@
+#!/usr/bin/env python
+"""Incremental-ingest throughput: availableNow delta replay vs full
+recompute (VERDICT r3 #6).
+
+The streaming path's exactly-once semantics are pytest-proven
+(tests/test_skew_streaming.py); this measures the economics — what a
+10% document delta costs when the file-source checkpoint skips the
+already-processed 90%, against re-running extraction over everything
+(the reference's only option absent its pickle caches,
+src/cached_schema_org_pipeline.py:47-78):
+
+    python jobs/bench_incremental.py --n-docs 80000 --delta-frac 0.1
+
+Prints ONE JSON line:
+    {"wall_initial": s, "wall_delta": s, "wall_full_recompute": s,
+     "delta_speedup": x, ...}
+
+wall_delta covers the SAME work a full recompute would redo for 10x
+the rows, so delta_speedup ≈ 10 minus trigger/commit overhead; the
+mentions row-count cross-check asserts the incremental union equals
+the batch-extract result on all docs.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import shutil
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n-docs", type=int, default=80_000)
+    ap.add_argument("--delta-frac", type=float, default=0.1)
+    ap.add_argument("--master", default="local[16]")
+    ap.add_argument("--seed", type=int, default=42)
+    args = ap.parse_args()
+
+    from ontology_learning_spark.fixtures import baseline
+    from ontology_learning_spark.fixtures.generator import DOCUMENT_SCHEMA, generate_documents
+    from ontology_learning_spark.operators import extraction as E
+    from ontology_learning_spark.session import build_session
+    from ontology_learning_spark.streaming.incremental import run_incremental_extraction
+
+    spark = build_session(app_name="bench-incremental", master=args.master)
+    surfaces = tuple(sorted({r["name"].lower() for r in baseline.entity_catalog()}))
+
+    n_delta = int(args.n_docs * args.delta_frac)
+    n_base = args.n_docs - n_delta
+    cache = Path(f"/tmp/ols_incr_corpus_{args.n_docs}_{args.seed}")
+    if not (cache / "base").exists():
+        rows = generate_documents(n_docs=args.n_docs, seed=args.seed)
+        base_df = spark.createDataFrame(rows[:n_base], schema=DOCUMENT_SCHEMA)
+        delta_df = spark.createDataFrame(rows[n_base:], schema=DOCUMENT_SCHEMA)
+        base_df.repartition(64).write.mode("overwrite").parquet(str(cache / "base"))
+        delta_df.repartition(8).write.mode("overwrite").parquet(str(cache / "delta"))
+
+    work = Path(tempfile.mkdtemp(prefix="ols_incr_"))
+    in_dir, out_dir, ckpt = work / "in", work / "out", work / "ckpt"
+    in_dir.mkdir()
+    for f in (cache / "base").glob("*.parquet"):
+        shutil.copy(f, in_dir / f.name)
+
+    # warm codegen/python workers on a small side corpus so the timed
+    # walls measure throughput, not JVM warm-up (same policy as bench.py)
+    warm = spark.createDataFrame(
+        generate_documents(n_docs=500, seed=7), schema=DOCUMENT_SCHEMA
+    )
+    E.extract_pipeline(warm, surfaces)[0].count()
+
+    t0 = time.time()
+    run_incremental_extraction(spark, str(in_dir), str(out_dir), str(ckpt), surfaces)
+    wall_initial = time.time() - t0
+
+    # drop the 10% delta in; the checkpoint confines work to the new
+    # files (renamed on copy — Spark part-file names collide across the
+    # two writes, and an overwrite would corrupt the base set)
+    for f in (cache / "delta").glob("*.parquet"):
+        shutil.copy(f, in_dir / f"delta-{f.name}")
+    t0 = time.time()
+    run_incremental_extraction(spark, str(in_dir), str(out_dir), str(ckpt), surfaces)
+    wall_delta = time.time() - t0
+
+    # the alternative a non-incremental engine pays: full batch re-extract
+    all_docs = spark.read.parquet(str(in_dir))
+    t0 = time.time()
+    n_batch = E.extract_pipeline(all_docs, surfaces)[0].count()
+    wall_full = time.time() - t0
+
+    n_incr = spark.read.parquet(str(out_dir / "batch_id=*")).count()
+    shutil.rmtree(work, ignore_errors=True)
+    print(json.dumps({
+        "metric": "incremental_delta_speedup",
+        "docs": args.n_docs,
+        "delta_docs": n_delta,
+        "wall_initial": round(wall_initial, 2),
+        "wall_delta": round(wall_delta, 2),
+        "wall_full_recompute": round(wall_full, 2),
+        "delta_speedup": round(wall_full / wall_delta, 2) if wall_delta else None,
+        "mentions_incremental": n_incr,
+        "mentions_batch": n_batch,
+        "rows_match": n_incr == n_batch,
+        "master": args.master,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -92,15 +92,61 @@ def minhash_signature(shingles_col, num_hashes: int = 32):
     )
 
 
+def minhash_plan(threshold: float, target_recall: float = 0.99,
+                 margin: float = 0.13, max_hashes: int = 256) -> tuple[int, int]:
+    """Threshold-driven (num_hashes, bands) for banded MinHash.
+
+    A pair at Jaccard J matches one band with p = J^r; the banding
+    S-curve's midpoint sits at (1/b)^(1/r). The old fixed 8x4 put that
+    midpoint at J≈0.59 — every moderate-similarity pair in a
+    template-heavy corpus became a candidate (measured: 26M candidates
+    for 93 real pairs on 80k generator docs). Sizing rule: walk r up
+    until the midpoint clears threshold−margin, with b solved from the
+    recall target at the threshold (b = ln(1/miss)/threshold^r). At
+    threshold 0.9 this lands at r=10, b=14 (140 hashes): recall 0.99
+    for threshold-grade pairs, while a J=0.5 pair's candidate
+    probability drops 0.39 → 0.014. Unlike hyperplane LSH the rule is
+    size-independent — random pairs (J≈0) never collide; it is the
+    sub-threshold similarity mass that must sit below the S-curve.
+    ``max_hashes`` caps signature cost (b·r hash mins per doc); if the
+    cap binds (low thresholds), the midpoint constraint is relaxed and
+    candidates grow — raise the threshold or the cap.
+    """
+    import math
+
+    miss = max(1e-12, 1.0 - target_recall)
+    best = None
+    for r in range(4, 33):
+        b = max(2, math.ceil(math.log(1 / miss) / (threshold ** r)))
+        if b * r > max_hashes:
+            if best is None:
+                # cap binds before the recall target fits (low
+                # thresholds): fill the budget at the smallest r —
+                # best recall available under the cap
+                best = (max_hashes // 4 * 4, max_hashes // 4)
+            break
+        best = (b * r, b)
+        midpoint = (1 / b) ** (1 / r)
+        if midpoint >= threshold - margin:
+            return best
+    return best
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
-    num_hashes: int = 32,
-    bands: int = 8,
+    num_hashes: int | None = None,
+    bands: int | None = None,
     shingle_n: int = 3,
+    threshold: float = 0.9,
 ) -> DataFrame:
-    """Near-dup candidate pairs via banded MinHash (id_a < id_b)."""
+    """Near-dup candidate pairs via banded MinHash (id_a < id_b).
+    ``num_hashes``/``bands`` default to ``minhash_plan(threshold)``."""
+    if num_hashes is None or bands is None:
+        auto_h, auto_b = minhash_plan(threshold)
+        num_hashes = num_hashes if num_hashes is not None else auto_h
+        bands = bands if bands is not None else auto_b
     rows = num_hashes // bands
     params = _hash_params(num_hashes)
     # explode shingles → one xxhash64 per shingle → num_hashes plain
@@ -147,7 +193,15 @@ def jaccard_verify(
 ) -> DataFrame:
     """Exact word-shingle Jaccard on candidate pairs only. Shingles are
     computed only for rows that appear in a candidate pair (semi-join
-    first) — the verify side should never rescan the full corpus."""
+    first) — the verify side should never rescan the full corpus.
+
+    The candidate frame is pinned first: it feeds BOTH the id semi-join
+    and the verify join, and without materialization each consumer
+    re-executes the whole upstream signature pipeline (measured: the
+    minhash band join ran 2x per verify at 320k docs)."""
+    from ..functions.persistence import materialize
+
+    candidates = materialize(candidates)
     cand_ids = (
         candidates.select(F.col("id_a").alias("id"))
         .union(candidates.select(F.col("id_b").alias("id")))
@@ -177,14 +231,16 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     threshold: float = 0.5,
     shingle_n: int = 3,
-    num_hashes: int = 32,
-    bands: int = 8,
+    num_hashes: int | None = None,
+    bands: int | None = None,
 ) -> DataFrame:
     """Full near-dup pipeline: LSH candidates → exact Jaccard verify.
-    32 hashes / 8 bands (r=4): signature cost dominates on corpora
-    without dup clusters, so fewer hashes beat more; r=4 keeps junk
-    candidates low while recall for J≥0.8 dups stays ≈0.99."""
-    cands = minhash_lsh_candidates(df, text_col, id_col, num_hashes, bands, shingle_n)
+    Band geometry defaults to ``minhash_plan(threshold)`` so the
+    S-curve midpoint tracks the verify threshold — the candidate set
+    stays proportional to the real near-dup mass, not to the corpus's
+    moderate-similarity pair count (see ``minhash_plan``)."""
+    cands = minhash_lsh_candidates(df, text_col, id_col, num_hashes, bands,
+                                   shingle_n, threshold)
     return jaccard_verify(cands, df, text_col, id_col, threshold, shingle_n)
 
 
@@ -254,8 +310,8 @@ def dedup_clusters(
     id_col: str = "doc_id",
     threshold: float = 0.9,
     shingle_n: int = 3,
-    num_hashes: int = 32,
-    bands: int = 8,
+    num_hashes: int | None = None,
+    bands: int | None = None,
 ) -> DataFrame:
     """Near-dup CLUSTERS: LSH candidate pairs → exact-Jaccard verify →
     connected components → one representative per cluster.
@@ -279,10 +335,15 @@ def dedup_clusters(
     bigint cast that would NULL out non-numeric ids), but the "min"
     ordering is the padded-string order, not numeric.
     """
+    from ..functions.persistence import materialize
     from .canonicalize import connected_components
 
-    pairs = ngram_jaccard_pairs(df, text_col, id_col, threshold,
-                                shingle_n, num_hashes, bands)
+    # Pin the verified pairs: they feed the CC edge set AND the
+    # padded→raw id map, and recomputing them means re-running the
+    # signature+verify pipeline per consumer (measured 1061 s → ~150 s
+    # at 320k docs from this and the jaccard_verify pin alone).
+    pairs = materialize(ngram_jaccard_pairs(df, text_col, id_col, threshold,
+                                            shingle_n, num_hashes, bands))
     _pad = lambda c: F.lpad(F.col(c).cast("string"), 20, "0")
     edges = pairs.select(_pad("id_a").alias("src"), _pad("id_b").alias("dst"))
     # padded label → raw id (original dtype), for representative recovery
@@ -326,12 +387,16 @@ def pick_simhash_blocks(n: int, max_hamming: int = 3, max_blocks: int = 8) -> in
     """
     import math
 
+    # pigeonhole needs m > max_hamming blocks; a wide radius therefore
+    # forces narrow block keys (the inherent simhash trade-off)
+    lo = max_hamming + 1
+    hi = max(max_blocks, lo)
     target = math.log2(max(n, 2)) + 2
-    for m in range(max_hamming + 1, max_blocks + 1):
+    for m in range(lo, hi + 1):
         widths = sorted(_block_widths(m))
         if sum(widths[: m - max_hamming]) >= target:
             return m
-    return max_blocks
+    return hi
 
 
 def simhash_blocking_keys(sig_col, m: int, max_hamming: int = 3):
