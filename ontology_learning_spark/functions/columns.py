@@ -85,6 +85,22 @@ def normalize_name(col: Column) -> Column:
     return F.when(col.isNull() | (lowered == ""), F.lit("")).otherwise(out)
 
 
+#: normalize_name's when-chain costs ~100 driver→JVM py4j round-trips
+#: (~0.15 s) just to BUILD; unresolved Column expressions are immutable
+#: and reusable across plans in one JVM, so per-run hot paths (the
+#: pipeline tail builds three of these per invocation) memoize one
+#: instance per source-column name.
+_NORM_COL_CACHE: dict[str, Column] = {}
+
+
+def normalize_name_cached(name: str) -> Column:
+    col = _NORM_COL_CACHE.get(name)
+    if col is None:
+        col = normalize_name(F.col(name))
+        _NORM_COL_CACHE[name] = col
+    return col
+
+
 def slugify(col: Column) -> Column:
     return F.regexp_replace(
         F.regexp_replace(F.lower(col), r"[^a-z0-9]+", "-"), r"^-+|-+$", ""

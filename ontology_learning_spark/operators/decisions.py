@@ -40,7 +40,7 @@ def decide(best: DataFrame, thresholds: dict | None = None,
     Output adds decision / target / confidence."""
     th = thresholds or S.DEFAULT_THRESHOLDS
     score = F.col("best_score")
-    norm_best = C.normalize_name(F.col("best_match"))
+    norm_best = C.normalize_name_cached("best_match")
 
     validated = _token_contained(F.col("concept"), norm_best) | (
         F.col("category").isNotNull()

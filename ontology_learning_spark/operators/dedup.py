@@ -117,7 +117,12 @@ def minhash_plan(threshold: float, target_recall: float = 0.99,
     miss = max(1e-12, 1.0 - target_recall)
     best = None
     for r in range(4, 33):
-        b = max(2, math.ceil(math.log(1 / miss) / (threshold ** r)))
+        # exact band count for the recall target: recall = 1-(1-t^r)^b
+        # (the ln(1/miss)/t^r linearization overestimates b by ~50%
+        # when t^r isn't small — 15 bands where 10 suffice at t=0.9,
+        # and the extra agg columns push the signature aggregation
+        # past codegen's field budget)
+        b = max(2, math.ceil(math.log(miss) / math.log(1 - threshold ** r)))
         if b * r > max_hashes:
             if best is None:
                 # cap binds before the recall target fits (low

@@ -151,12 +151,19 @@ def triples_table(extracted: DataFrame) -> DataFrame:
     )
 
 
-def distinct_concepts(mentions: DataFrame) -> DataFrame:
+def distinct_concepts(mentions: DataFrame, num_partitions: int | None = None) -> DataFrame:
     """E3: global distinct of normalized surfaces. Shuffle is bounded by
-    vocabulary size, not corpus size (partial aggregation map-side)."""
-    return mentions.select("norm_surface").distinct().withColumnRenamed(
-        "norm_surface", "concept"
-    )
+    vocabulary size, not corpus size (partial aggregation map-side).
+
+    ``num_partitions`` sizes the OUTPUT partitioning in the same
+    exchange: hash-repartition by the key then dropDuplicates — the
+    dedup reuses the repartition's co-location, where distinct() THEN
+    repartition(n) would pay a second full exchange of the vocabulary.
+    """
+    surf = mentions.select("norm_surface")
+    if num_partitions:
+        surf = surf.repartition(num_partitions, F.col("norm_surface"))
+    return surf.dropDuplicates().withColumnRenamed("norm_surface", "concept")
 
 
 def extract_pipeline(

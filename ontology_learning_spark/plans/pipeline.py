@@ -68,11 +68,20 @@ def run_pipeline(
     thresholds: dict | None = None,
     extra_surfaces: tuple[str, ...] = (),
     catalog_df: DataFrame | None = None,
+    timing_sink: dict | None = None,
 ) -> PipelineResult:
     """``extra_surfaces`` widens the extraction gazetteer beyond the
     link catalog (mentions of unknown-to-the-catalog terms are what
     drive EXTEND decisions). ``catalog_df`` lets repeated runs reuse an
-    already-prepared (cached/broadcast-warm) catalog."""
+    already-prepared (cached/broadcast-warm) catalog. ``timing_sink``
+    (a dict) receives per-phase wall seconds keyed extract/leg_*/decide
+    — the attribution the bench uses to separate plan cost from
+    JIT/host noise."""
+    import time as _time
+
+    _t0 = _time.time()
+    _mark = (lambda k: timing_sink.__setitem__(k, round(_time.time() - _t0, 3))) \
+        if timing_sink is not None else (lambda k: None)
     catalog_rows = catalog_rows if catalog_rows is not None else baseline.entity_catalog()
     th = thresholds or S.DEFAULT_THRESHOLDS
     surfaces = tuple(sorted(
@@ -91,6 +100,7 @@ def run_pipeline(
     # parallelism (memory-bandwidth-bound, unlike the Python
     # extraction pass which scales near-perfectly).
     mentions = materialize(mentions_raw)
+    _mark("extract_done")
 
     # The concept DIMENSION is |vocabulary|-sized, orders of magnitude
     # below the corpus: give its stages (embed UDF, blocked joins,
@@ -120,19 +130,24 @@ def run_pipeline(
         return run
 
     def leg_offers() -> tuple[DataFrame, DataFrame, DataFrame]:
-        concepts = E.distinct_concepts(mentions).repartition(vocab_parts)
+        # one exchange: hash-partition by surface AND dedup in the same
+        # shuffle (distinct-then-repartition paid two)
+        concepts = E.distinct_concepts(mentions, vocab_parts)
         # Eagerly pinned: FIVE match bands consume prepped concurrently.
         prepped = materialize(L.prepare_concepts(concepts))
         # The four bands that need only prepped (M2/M3/M5) score here,
         # overlapped with the context→props leg that feeds M4.
         offers = materialize(L.base_match_offers(prepped, catalog, th))
+        _mark("leg_offers_done")
         return concepts, prepped, offers
 
     def leg_tech() -> tuple[DataFrame, DataFrame]:
         # E7/E9: concept context → technical props → M4 band.
         context = EN.concept_context(mentions, docs_text)
         props = materialize(EN.extract_properties(context).drop("context"))
-        return props, materialize(L.technical_matches(props, catalog))
+        out = props, materialize(L.technical_matches(props, catalog))
+        _mark("leg_tech_done")
+        return out
 
     def leg_triples() -> DataFrame:
         # E5 dedup up front: apply_canonicalization ends in a
@@ -142,7 +157,9 @@ def run_pipeline(
         # extraction output on the critical path. Reads its own narrow
         # projection of the extraction checkpoint (the triples arrays),
         # not the mentions table.
-        return materialize(doc_triples.select("subj", "pred", "obj").distinct())
+        out = materialize(doc_triples.select("subj", "pred", "obj").distinct())
+        _mark("leg_triples_done")
+        return out
 
     with ThreadPoolExecutor(max_workers=3) as pool:
         f_offers = pool.submit(_pooled("leg-offers", leg_offers))
@@ -161,11 +178,25 @@ def run_pipeline(
     best = L.best_offers_with_category(all_offers, catalog)
     best_full = prepped.select("concept", "category").join(best, "concept", "left")
 
+    # M13 alias edges (normalize BEFORE the self-edge filter: a surface
+    # whose target differs only in case/plurality is a self-alias and
+    # must not enter the union-find — it would mark the canonical as a
+    # non-sink).
+    def _alias_edges(dec: DataFrame) -> DataFrame:
+        return D.mapping_objects(dec).select(
+            F.col("name").alias("surface"),
+            C.normalize_name_cached("canonical").alias("alias_of"),
+        ).where(F.col("surface") != F.col("alias_of"))
+
     # Eager: the whole linking chain (bands → argmax → cascade)
     # materializes exactly once, here; the downstream canonicalization
     # probe and the triples job read a vocabulary-sized table instead
-    # of re-walking the chain.
+    # of re-walking the chain. (Round-4 note: overlapping the probe
+    # with this checkpoint was tried and reverted — the probe then
+    # evaluates the same un-checkpointed chain, and the two identical
+    # concurrent jobs contend: decide segment 1.4 s → 3.6 s measured.)
     decided = materialize(D.decide(best_full, th))
+    _mark("decide_done")
     tasks = D.route_tasks(decided)
     mappings = D.mapping_objects(decided)
 
@@ -173,25 +204,17 @@ def run_pipeline(
     routed_triples = tasks.select(
         F.col("name").alias("subj"),
         F.lit("subclass_of").alias("pred"),
-        C.normalize_name(F.col("parent_class")).alias("obj"),
+        C.normalize_name_cached("parent_class").alias("obj"),
     )
     triples = routed_triples.unionByName(extracted_triples)
 
     # M13: canonicalize through MAP_* alias edges (connected components
     # resolves chains; the reference's single-hop sameAs is the
-    # degenerate case).
-    # Normalize BEFORE the self-edge filter: a surface whose target
-    # differs only in case/plurality is a self-alias and must not enter
-    # the union-find (it would mark the canonical as a non-sink).
-    alias_edges = mappings.select(
-        F.col("name").alias("surface"),
-        C.normalize_name(F.col("canonical")).alias("alias_of"),
-    ).where(F.col("surface") != F.col("alias_of"))
-    # no isEmpty() pre-check: it would cost a full upstream evaluation;
-    # canonical_mapping handles the empty case and apply on an empty
-    # broadcast map is a no-op.
-    canon_map = CC.canonical_mapping(alias_edges)
+    # degenerate case). No isEmpty() pre-check: canonical_mapping
+    # handles the empty case and apply on an empty map is a no-op.
+    canon_map = CC.canonical_mapping(_alias_edges(decided))
     triples = CC.apply_canonicalization(triples, canon_map)
+    _mark("canon_done")
 
     return PipelineResult(
         mentions=mentions,

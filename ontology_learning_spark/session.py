@@ -75,6 +75,17 @@ def build_session(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # CollectLimit's incremental execution (1 partition, then scale
+        # up) turns every guarded probe-collect over a small table into
+        # TWO jobs; starting at 32 partitions makes it one. Limits over
+        # genuinely large inputs scan a few more partitions up front —
+        # negligible next to the saved job round-trip.
+        .config("spark.sql.limit.initialNumPartitions", "32")
+        # The minhash signature aggregation carries bands*rows (~165 at
+        # threshold 0.9) min-agg buffer fields; the default maxFields
+        # (100) silently drops that stage out of whole-stage codegen
+        # into interpreted row-based aggregation (~2x the wall).
+        .config("spark.sql.codegen.maxFields", "512")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
