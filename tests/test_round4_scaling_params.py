@@ -100,6 +100,34 @@ def test_simhash_blocks_autosize_and_candidates_linear_at_50k(spark):
     assert pairs < N // 10
 
 
+def test_minhash_plan_scurve_properties():
+    """The threshold-driven plan must (a) place the banding S-curve
+    midpoint within `margin` below the verify threshold — the property
+    whose absence made the fixed 8x4 default emit 26M candidates for
+    93 real pairs on an 80k template corpus — and (b) hit the recall
+    target at the threshold with the exact 1-(1-t^r)^b formula."""
+    import math
+
+    from ontology_learning_spark.operators.dedup import minhash_plan
+
+    for t in (0.8, 0.85, 0.9, 0.95):
+        h, b = minhash_plan(t)
+        r = h // b
+        assert h == b * r and h <= 256
+        midpoint = (1 / b) ** (1 / r)
+        # 0.131 when the hash budget allows; at t=0.8 the 256-hash cap
+        # binds one r short of the margin (r=9 would need 297 hashes)
+        assert midpoint >= t - 0.14, (t, b, r, midpoint)
+        recall = 1 - (1 - t**r) ** b
+        assert recall >= 0.99, (t, b, r, recall)
+    # default threshold lands under codegen's 100-field default budget
+    h, b = minhash_plan(0.9)
+    assert h == 90 and b == 10
+    # low thresholds fall back to the capped budget instead of exploding
+    h, b = minhash_plan(0.5)
+    assert h <= 256
+
+
 def test_simhash_output_invariant_to_block_count(spark, docs_df):
     """Exact pigeonhole: the block count is a partition trick, so m=4
     and m=6 must emit the identical pair set (keys differ, output not)."""
