@@ -363,7 +363,22 @@ def scaling_mode(sf_dir: str, cluster: bool = False, n_rounds: int = 3) -> None:
         "triples/s (eff 0.514). Round-3 code at the same 80k corpus: 810 /",
         "1494 triples/s — both levels >55% faster in absolute terms.",
     ]
-    Path("BENCH/BASELINE.md").write_text("\n".join(md) + "\n")
+    # Rewriting the headline table must not clobber the appended
+    # analysis sections (executor-JVM A/B, scaling attribution,
+    # incremental/dedup results, wall story): preserve everything from
+    # the first appended "## " section onward.
+    out_path = Path("BENCH/BASELINE.md")
+    tail_md = ""
+    if out_path.exists():
+        old = out_path.read_text()
+        for marker in ("\n## Executor-JVM A/B", "\n## Scaling attribution",
+                       "\n## Incremental ingest", "\n## dedup_clusters",
+                       "\n## Flagship wall"):
+            i = old.find(marker)
+            if i != -1:
+                tail_md = old[i:]
+                break
+    out_path.write_text("\n".join(md) + "\n" + tail_md)
     print(json.dumps({
         "scaling_efficiency": round(eff, 3), f"thr{lo}": thr_lo, f"thr{hi}": thr_hi,
         "runs": [{k: r[k] for k in ("master", "value", "host_steal_pct", "host_idle_pct")}
