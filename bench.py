@@ -371,13 +371,16 @@ def scaling_mode(sf_dir: str, cluster: bool = False, n_rounds: int = 3) -> None:
     tail_md = ""
     if out_path.exists():
         old = out_path.read_text()
-        for marker in ("\n## Executor-JVM A/B", "\n## Scaling attribution",
-                       "\n## Incremental ingest", "\n## dedup_clusters",
-                       "\n## Flagship wall"):
-            i = old.find(marker)
-            if i != -1:
-                tail_md = old[i:]
-                break
+        # earliest section in FILE order (not marker-tuple order): a
+        # first-found-marker break would drop any appended section that
+        # precedes the matched one when sections appear out of order
+        hits = [i for i in (old.find(m) for m in (
+            "\n## Executor-JVM A/B", "\n## Scaling attribution",
+            "\n## Incremental ingest", "\n## dedup_clusters",
+            "\n## Flagship wall", "\n## Skewed-corpus",
+            "\n## Extraction checkpoint")) if i != -1]
+        if hits:
+            tail_md = old[min(hits):]
     out_path.write_text("\n".join(md) + "\n" + tail_md)
     print(json.dumps({
         "scaling_efficiency": round(eff, 3), f"thr{lo}": thr_lo, f"thr{hi}": thr_hi,

@@ -102,17 +102,20 @@ def minhash_plan(threshold: float, target_recall: float = 0.99,
     template-heavy corpus became a candidate (measured: 26M candidates
     for 93 real pairs on 80k generator docs). Sizing rule: walk r up
     until the midpoint clears threshold−margin, with b solved from the
-    recall target at the threshold (b = ln(1/miss)/threshold^r). At
-    threshold 0.9 this lands at r=10, b=14 (140 hashes): recall 0.99
-    for threshold-grade pairs, while a J=0.5 pair's candidate
-    probability drops 0.39 → 0.014. Unlike hyperplane LSH the rule is
-    size-independent — random pairs (J≈0) never collide; it is the
-    sub-threshold similarity mass that must sit below the S-curve.
-    ``max_hashes`` caps signature cost (b·r hash mins per doc); if the
-    cap binds (low thresholds), the midpoint constraint is relaxed and
-    candidates grow — raise the threshold or the cap.
+    recall target at the threshold (exact form: b = ceil(ln(miss) /
+    ln(1 - t^r))). At threshold 0.9 this lands at r=9, b=10 (90
+    hashes): recall 0.993 for threshold-grade pairs, while a J=0.5
+    pair's candidate probability drops 0.39 → 0.019. Unlike hyperplane
+    LSH the rule is size-independent — random pairs (J≈0) never
+    collide; it is the sub-threshold similarity mass that must sit
+    below the S-curve. ``max_hashes`` caps signature cost (b·r hash
+    mins per doc); if the cap binds (low thresholds), the midpoint
+    constraint is relaxed, candidates grow, and a ``UserWarning`` is
+    emitted so the degraded regime is observable at plan time — raise
+    the threshold or the cap.
     """
     import math
+    import warnings
 
     miss = max(1e-12, 1.0 - target_recall)
     best = None
@@ -134,7 +137,51 @@ def minhash_plan(threshold: float, target_recall: float = 0.99,
         midpoint = (1 / b) ** (1 / r)
         if midpoint >= threshold - margin:
             return best
+    n_h, n_b = best
+    mid = (1 / n_b) ** (n_b / n_h)
+    warnings.warn(
+        f"minhash_plan: the {max_hashes}-hash cap binds at threshold "
+        f"{threshold} — S-curve midpoint {mid:.2f} sits below "
+        f"threshold-margin {threshold - margin:.2f}; the candidate set "
+        f"will include sub-threshold pairs (raise the threshold or "
+        f"max_hashes)",
+        stacklevel=2,
+    )
     return best
+
+
+def _resolve_minhash_geometry(
+    threshold: float, num_hashes: int | None, bands: int | None,
+    margin: float = 0.13,
+) -> tuple[int, int]:
+    """(num_hashes, bands), coherent when only ONE is given.
+
+    Mixing one explicit value with the other taken from
+    ``minhash_plan`` computes the auto half for a DIFFERENT geometry
+    (e.g. num_hashes=32 with auto bands=10 → r=3, two hashes silently
+    discarded, midpoint J≈0.46). Instead: given only ``num_hashes``,
+    pick the divisor band count whose S-curve midpoint (1/b)^(1/r)
+    lands lowest while still clearing threshold−margin (falling back
+    to the highest midpoint available); given only ``bands``, solve
+    the smallest r with (1/b)^(1/r) ≥ threshold−margin."""
+    import math
+
+    if num_hashes is None and bands is None:
+        return minhash_plan(threshold)
+    if num_hashes is not None and bands is not None:
+        return num_hashes, bands
+    if num_hashes is not None:
+        divs = [b for b in range(2, num_hashes // 2 + 1) if num_hashes % b == 0]
+        if not divs:
+            raise ValueError(
+                f"num_hashes={num_hashes} admits no (bands, rows) split "
+                f"with bands>=2 and rows>=2; pass bands explicitly")
+        # midpoint falls as b rises (smaller r): max(ok) = best recall
+        # that still clears; fallback = smallest b = closest from below
+        ok = [b for b in divs if (1 / b) ** (b / num_hashes) >= threshold - margin]
+        return num_hashes, (max(ok) if ok else min(divs))
+    r = max(2, math.ceil(math.log(bands) / -math.log(max(threshold - margin, 1e-9))))
+    return bands * r, bands
 
 
 def minhash_lsh_candidates(
@@ -147,11 +194,10 @@ def minhash_lsh_candidates(
     threshold: float = 0.9,
 ) -> DataFrame:
     """Near-dup candidate pairs via banded MinHash (id_a < id_b).
-    ``num_hashes``/``bands`` default to ``minhash_plan(threshold)``."""
-    if num_hashes is None or bands is None:
-        auto_h, auto_b = minhash_plan(threshold)
-        num_hashes = num_hashes if num_hashes is not None else auto_h
-        bands = bands if bands is not None else auto_b
+    ``num_hashes``/``bands`` default to ``minhash_plan(threshold)``;
+    with exactly one given, the other is derived coherently from it
+    (``_resolve_minhash_geometry``)."""
+    num_hashes, bands = _resolve_minhash_geometry(threshold, num_hashes, bands)
     rows = num_hashes // bands
     params = _hash_params(num_hashes)
     # explode shingles → one xxhash64 per shingle → num_hashes plain
@@ -331,14 +377,17 @@ def dedup_clusters(
 
     Returns (canonical_id, cluster_size) for clusters of size ≥ 2.
 
-    Id contract: ids travel through the label propagation as 20-char
-    zero-padded strings, and the representative is the member whose
-    padded form is lexicographically minimal — for non-negative integer
-    ids up to 20 digits (the documents table case) that IS the numeric
-    min. Other id types (strings, negatives) still get a deterministic
-    representative in its ORIGINAL dtype (min_by on the raw value — no
-    bigint cast that would NULL out non-numeric ids), but the "min"
-    ordering is the padded-string order, not numeric.
+    Id contract: ids travel through the label propagation as zero-
+    padded strings, padded to max(20, longest id in any pair) — the
+    width is measured on the (materialized, near-dup-sized) pair frame
+    so long ids are never silently TRUNCATED into colliding CC nodes.
+    The representative is the member whose padded form is
+    lexicographically minimal — for non-negative integer ids (the
+    documents table case) that IS the numeric min. Other id types
+    (strings, negatives) still get a deterministic representative in
+    its ORIGINAL dtype (min_by on the raw value — no bigint cast that
+    would NULL out non-numeric ids), but the "min" ordering is the
+    padded-string order, not numeric.
     """
     from ..functions.persistence import materialize
     from .canonicalize import connected_components
@@ -349,14 +398,22 @@ def dedup_clusters(
     # at 320k docs from this and the jaccard_verify pin alone).
     pairs = materialize(ngram_jaccard_pairs(df, text_col, id_col, threshold,
                                             shingle_n, num_hashes, bands))
-    _pad = lambda c: F.lpad(F.col(c).cast("string"), 20, "0")
+    # Pad width sized to the data: lpad TRUNCATES overflow, so a fixed
+    # 20 would merge any two >20-char ids sharing a 20-char prefix into
+    # one CC node. One tiny agg over the already-materialized pairs.
+    row = pairs.agg(
+        F.max(F.greatest(F.length(F.col("id_a").cast("string")),
+                         F.length(F.col("id_b").cast("string")))).alias("w")
+    ).first()
+    padw = max(20, int(row["w"] or 0))
+    _pad = lambda c: F.lpad(F.col(c).cast("string"), padw, "0")
     edges = pairs.select(_pad("id_a").alias("src"), _pad("id_b").alias("dst"))
     # padded label → raw id (original dtype), for representative recovery
     idmap = (
         pairs.select(F.col("id_a").alias("raw"))
         .unionByName(pairs.select(F.col("id_b").alias("raw")))
         .distinct()
-        .select("raw", F.lpad(F.col("raw").cast("string"), 20, "0").alias("node"))
+        .select("raw", F.lpad(F.col("raw").cast("string"), padw, "0").alias("node"))
     )
     cc = connected_components(edges)
     return (
@@ -430,18 +487,29 @@ def simhash_blocking_keys(sig_col, m: int, max_hamming: int = 3):
 
 
 def simhash_near_dups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-                      max_hamming: int = 3, blocks: int | None = None) -> DataFrame:
+                      max_hamming: int = 3, blocks: int | None = None,
+                      n_docs: int | None = None) -> DataFrame:
     """Near-dup pairs by SimHash, multi-table pigeonhole blocking.
 
-    ``blocks`` (m) defaults to ``pick_simhash_blocks(count)`` so the
+    ``blocks`` (m) defaults to ``pick_simhash_blocks(n)`` so the
     table-key width tracks log2(n)+2 — the fixed 4x16-bit chunk layout
     this replaces kept only 2^16 buckets per table and went quadratic
     past ~10^5 docs. The output is invariant to m (exact pigeonhole +
     exact hamming verify), so changing the block count never changes
-    results, only the candidate volume. Auto-sizing costs one
-    df.count(); pass ``blocks`` explicitly to skip it.
+    results, only the candidate volume. Auto-sizing needs the corpus
+    size: pass ``n_docs`` when the caller already knows it (pipelines,
+    benches), else one ``df.count()`` job is spent. ``blocks`` must
+    exceed ``max_hamming`` — the pigeonhole argument needs at least
+    one block untouched by the allowed bit flips; fewer blocks would
+    degenerate every table key to a constant (an all-pairs join).
     """
-    m = blocks or pick_simhash_blocks(df.count(), max_hamming)
+    if blocks is not None and blocks <= max_hamming:
+        raise ValueError(
+            f"blocks={blocks} must be > max_hamming={max_hamming}: the "
+            f"pigeonhole blocking keys on (blocks - max_hamming)-block "
+            f"combinations, which would be empty")
+    m = blocks if blocks is not None else pick_simhash_blocks(
+        n_docs if n_docs is not None else df.count(), max_hamming)
     sig = df.select(F.col(id_col).alias("id"), simhash64_udf(F.col(text_col)).alias("sig"))
     tabled = sig.select(
         "id", "sig",

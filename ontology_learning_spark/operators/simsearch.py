@@ -110,6 +110,44 @@ def lsh_plan(n: int, threshold: float, target_recall: float = 0.99,
     return b, r
 
 
+def _resolve_lsh_geometry(
+    threshold: float,
+    bands: int | None,
+    rows_per_band: int | None,
+    n: int | None = None,
+    target_recall: float = 0.99,
+    max_bands: int = 128,
+) -> tuple[int, int]:
+    """(bands, rows_per_band), coherent when only ONE is given.
+
+    The old pattern filled the missing half from ``lsh_plan`` — a value
+    computed for a DIFFERENT geometry (e.g. explicit rows_per_band=4
+    with an auto band count solved for r=log2(n)+2 under-delivers
+    recall by orders of magnitude). Instead: given only
+    ``rows_per_band`` r, solve bands from the recall target at the
+    threshold (b = ln(1/miss)/p_bit^r, capped); given only ``bands``
+    b, take the LARGEST r whose recall target still fits in b bands
+    (floored at 4 — an explicit band count below the recall
+    requirement keeps r=4's best-available recall). Neither
+    single-param path needs the corpus size."""
+    import math
+
+    if bands is not None and rows_per_band is not None:
+        return bands, rows_per_band
+    if bands is None and rows_per_band is None:
+        if n is None:
+            raise ValueError("corpus size required to auto-size both bands and rows_per_band")
+        return lsh_plan(n, threshold, target_recall, max_bands)
+    p_bit = 1 - math.acos(min(max(threshold, -1.0), 1.0)) / math.pi
+    need = math.log(1 / max(1e-12, 1.0 - target_recall))
+    if rows_per_band is not None:
+        b = min(max_bands, max(4, math.ceil(need / (p_bit ** rows_per_band))))
+        return b, rows_per_band
+    if need / bands >= 1.0:
+        return bands, 4
+    return bands, max(4, math.floor(math.log(need / bands) / math.log(p_bit)))
+
+
 def lsh_signatures(
     df: DataFrame,
     dim: int,
@@ -209,6 +247,7 @@ def lsh_banded_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     recall_threshold: float = 0.9,
+    n_docs: int | None = None,
 ) -> DataFrame:
     """ANN top-k via banded OR-construction: candidates = vectors
     sharing ANY of the query's ``bands`` signatures, then exact cosine
@@ -219,14 +258,16 @@ def lsh_banded_topk(
     radius probing). At scale the signature table is precomputed and
     partitioned by (band, sig) so the probe is partition pruning.
 
-    ``bands``/``rows_per_band`` default to ``lsh_plan(count,
+    ``bands``/``rows_per_band`` default to ``lsh_plan(n,
     recall_threshold)`` — candidate volume stays ~O(n·bands/4) instead
-    of n/2^6-per-band at the old fixed 8x6 (one df.count() to size;
-    pass both explicitly to skip)."""
-    if bands is None or rows_per_band is None:
-        auto_b, auto_r = lsh_plan(df.count(), recall_threshold)
-        bands = bands if bands is not None else auto_b
-        rows_per_band = rows_per_band if rows_per_band is not None else auto_r
+    of n/2^6-per-band at the old fixed 8x6. Pass ``n_docs`` when the
+    caller knows the corpus size (else one df.count() job sizes it);
+    with exactly one of the pair given, the other is derived coherently
+    from it, no count needed (``_resolve_lsh_geometry``)."""
+    if bands is None and rows_per_band is None and n_docs is None:
+        n_docs = df.count()
+    bands, rows_per_band = _resolve_lsh_geometry(
+        recall_threshold, bands, rows_per_band, n_docs)
     dim = len(query_vec)
     planes = _hyperplanes(dim, bands * rows_per_band, seed)
     bits = (planes @ np.asarray(query_vec, dtype=np.float64)) > 0
@@ -251,6 +292,7 @@ def embedding_near_dups(
     seed: int = 42,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    n_docs: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs: banded LSH candidate self-join
     (union of per-band bucket matches, deduped BEFORE vectors are
@@ -263,18 +305,19 @@ def embedding_near_dups(
     and the band count is solved from the recall target at the
     threshold: recall = 1-(1-p_bit^r)^b with p_bit = 1-acos(c)/π, ≥0.99
     for threshold-grade pairs and ~1-1e-9 for true near-dups (c≥0.99).
-    The auto-sizing costs one df.count() — pass explicit
-    ``bands``/``rows_per_band`` to skip it (sizing rule in
-    ``lsh_plan``'s docstring). The verify never scans all pairs, and at
+    Auto-sizing needs the corpus size: pass ``n_docs`` when the caller
+    knows it, else one df.count() job is spent; explicit
+    ``bands``/``rows_per_band`` skip sizing entirely, and exactly one
+    of the pair is completed coherently without a count
+    (``_resolve_lsh_geometry``). The verify never scans all pairs, and at
     scale the band self-join keys are uniform by construction (no
     skew). Fixes the round-1 single-band AND-construction whose recall
     was ~28% (VERDICT.md #4; ADVICE #1). Reference parity: dedup intent
     of src/ontology_extension_manager.py find_similar (behavior
     studied, no code copied)."""
-    if bands is None or rows_per_band is None:
-        auto_b, auto_r = lsh_plan(df.count(), threshold)
-        bands = bands if bands is not None else auto_b
-        rows_per_band = rows_per_band if rows_per_band is not None else auto_r
+    if bands is None and rows_per_band is None and n_docs is None:
+        n_docs = df.count()
+    bands, rows_per_band = _resolve_lsh_geometry(threshold, bands, rows_per_band, n_docs)
     sig = lsh_band_signatures(
         df, _first_dim(df, vec_col), bands, rows_per_band, seed, vec_col, id_col
     )

@@ -81,8 +81,8 @@ def build_session(
         # genuinely large inputs scan a few more partitions up front —
         # negligible next to the saved job round-trip.
         .config("spark.sql.limit.initialNumPartitions", "32")
-        # The minhash signature aggregation carries bands*rows (~165 at
-        # threshold 0.9) min-agg buffer fields; the default maxFields
+        # The minhash signature aggregation carries bands*rows (~90 at
+        # threshold 0.9: r=9, b=10) min-agg buffer fields; the default maxFields
         # (100) silently drops that stage out of whole-stage codegen
         # into interpreted row-based aggregation (~2x the wall).
         .config("spark.sql.codegen.maxFields", "512")
