@@ -466,6 +466,32 @@ def _q_rel_orders_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_sim_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A14 similarity distribution over embedding matches: each vector's
+    best cosine against a 5-vector broadcast query set feeds
+    analytics.similarity_distribution (decimal-exact mean/stddev, exact
+    percentiles — see its docstring for the cross-engine contract)."""
+    from ontology_learning_spark.functions import columns as C
+    from ontology_learning_spark.operators import analytics as A
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = F.broadcast(
+        emb.where(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").cast("array<double>").alias("qv"),
+        )
+    )
+    matches = (
+        emb.select(
+            F.col("vec_id").alias("concept"),
+            F.col("embedding").cast("array<double>").alias("v"),
+        )
+        .crossJoin(q)
+        .select("concept", C.cosine(F.col("v"), F.col("qv")).alias("score"))
+    )
+    return A.similarity_distribution(matches)
+
+
 def _q_rel_nation_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = spark.read.parquet(f"{sf_dir}/customer.parquet")
     n = spark.read.parquet(f"{sf_dir}/nation.parquet")
@@ -1108,6 +1134,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_lineitem_stats": _q_rel_lineitem_stats,
         "rel_brand_revenue": _q_rel_brand_revenue,
         "rel_orders_rank": _q_rel_orders_rank,
+        # A14 similarity distribution (the last §2.4 analytic that was
+        # pytest-only through round 4)
+        "sim_distribution": _q_sim_distribution,
     }
 
 
@@ -1375,6 +1404,40 @@ def oracle_sql() -> dict[str, str]:
               FROM orders WHERE o_custkey < 50
             )
             SELECT o_custkey, o_orderkey, price, CAST(rnk AS INT) AS rnk FROM r WHERE rnk <= 3
+        """,
+        # A14 twin mirrors similarity_distribution's reproducibility
+        # contract: round-6 before the per-concept max, DECIMAL-exact
+        # sum / sum-of-squares, the same scalar mean/stddev formula,
+        # exact type-7 percentiles (quantile_cont == Spark percentile).
+        "sim_distribution": """
+            WITH q AS (
+              SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+              FROM embeddings WHERE vec_id < 5
+            ), top AS (
+              SELECT e.vec_id AS concept,
+                     MAX(ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 6)) AS top_score
+              FROM embeddings e CROSS JOIN q
+              GROUP BY 1
+            ), agg AS (
+              SELECT COUNT(*) AS n_concepts,
+                     SUM(CAST(top_score AS DECIMAL(28,6))) AS s_dec,
+                     SUM(CAST(ROUND(top_score * top_score, 12) AS DECIMAL(26,12))) AS sq_dec,
+                     quantile_cont(top_score, 0.5) AS median_raw,
+                     quantile_cont(top_score, 0.25) AS p25_raw,
+                     quantile_cont(top_score, 0.75) AS p75_raw
+              FROM top
+            )
+            SELECT n_concepts,
+                   ROUND(CAST(s_dec AS DOUBLE) / n_concepts, 6) AS mean,
+                   ROUND(median_raw, 6) AS median,
+                   CASE WHEN n_concepts > 1 THEN
+                     ROUND(sqrt((CAST(sq_dec AS DOUBLE)
+                                 - CAST(s_dec AS DOUBLE) * CAST(s_dec AS DOUBLE) / n_concepts)
+                                / (n_concepts - 1)), 6)
+                   END AS stddev,
+                   ROUND(p25_raw, 6) AS p25,
+                   ROUND(p75_raw, 6) AS p75
+            FROM agg
         """,
         "rel_nation_rollup": """
             SELECT r_name, n_name, COUNT(*) AS n_customers,

@@ -11,15 +11,44 @@ from pyspark.sql import functions as F
 
 
 def similarity_distribution(matches: DataFrame) -> DataFrame:
-    """A14: top match score per concept → distribution stats."""
-    top = matches.groupBy("concept").agg(F.max("score").alias("top_score"))
-    return top.agg(
+    """A14: top match score per concept → distribution stats.
+
+    Reproducibility shape (ref src/evaluation/diagnose_similarity.py:
+    63-116, behavior only): scores are rounded to 6 decimals BEFORE the
+    per-concept max (near-ulp ties collapse identically on any engine),
+    and mean/stddev come from DECIMAL-exact sums — double-sum
+    aggregation is partition-order dependent, so the same corpus could
+    report different trailing digits run to run at cluster scale. The
+    sum/sum-of-squares decimals convert to double identically
+    everywhere, and the remaining arithmetic is a fixed scalar formula,
+    so the output is bit-stable across partitionings and matches the
+    DuckDB oracle twin exactly. Percentiles use exact type-7 linear
+    interpolation (Spark ``percentile`` ≡ DuckDB ``quantile_cont``)."""
+    top = matches.groupBy("concept").agg(
+        F.max(F.round(F.col("score"), 6)).alias("top_score")
+    )
+    agg = top.agg(
         F.count("*").alias("n_concepts"),
-        F.round(F.avg("top_score"), 6).alias("mean"),
-        F.round(F.expr("percentile(top_score, 0.5)"), 6).alias("median"),
-        F.round(F.stddev_samp("top_score"), 6).alias("stddev"),
-        F.round(F.expr("percentile(top_score, 0.25)"), 6).alias("p25"),
-        F.round(F.expr("percentile(top_score, 0.75)"), 6).alias("p75"),
+        F.sum(F.col("top_score").cast("decimal(28,6)")).alias("s_dec"),
+        F.sum(
+            F.round(F.col("top_score") * F.col("top_score"), 12).cast("decimal(26,12)")
+        ).alias("sq_dec"),
+        F.expr("percentile(top_score, 0.5)").alias("median_raw"),
+        F.expr("percentile(top_score, 0.25)").alias("p25_raw"),
+        F.expr("percentile(top_score, 0.75)").alias("p75_raw"),
+    )
+    n = F.col("n_concepts")
+    s = F.col("s_dec").cast("double")
+    sq = F.col("sq_dec").cast("double")
+    return agg.select(
+        n,
+        F.round(s / n, 6).alias("mean"),
+        F.round("median_raw", 6).alias("median"),
+        F.when(
+            n > 1, F.round(F.sqrt((sq - s * s / n) / (n - 1)), 6)
+        ).alias("stddev"),
+        F.round("p25_raw", 6).alias("p25"),
+        F.round("p75_raw", 6).alias("p75"),
     )
 
 
