@@ -194,7 +194,22 @@ def test_multimodal_plumbing(docs_df):
     rows = decoded.collect()
     assert len(rows) == n_media
     assert all(r["decode_ok"] for r in rows)
-    assert all(64 <= r["width"] < 256 for r in rows)
+    # real header parse: planted dimensions come back for image rows,
+    # planted audio params for wav rows
+    import hashlib
+
+    for r in rows:
+        h = hashlib.md5(r["media_ref"].encode()).digest()
+        if r["codec"] in ("png", "jpeg", "gif"):
+            assert r["media_type"] == "image"
+            assert (r["width"], r["height"]) == (64 + h[0] % 192, 64 + h[1] % 192)
+            assert r["channels"] is None and r["duration_ms"] is None
+        else:
+            assert r["codec"] == "wav" and r["media_type"] == "audio"
+            assert r["channels"] == 1 + h[0] % 2
+            assert r["duration_ms"] == 100 * (1 + h[2] % 50)
+    codecs = {r["codec"] for r in rows}
+    assert len(codecs) >= 3, f"format cycling should cover several codecs, got {codecs}"
     # determinism
     again = {r["media_ref"]: (r["width"], r["height"]) for r in MM.decode_media(media).collect()}
     for r in rows:
@@ -204,6 +219,36 @@ def test_multimodal_plumbing(docs_df):
     assert frames.where(F.col("frame_idx") % 5 != 0).count() == 0
 
 
-def test_decode_real_is_stubbed():
-    with pytest.raises(NotImplementedError):
-        MM._decode_real(b"x", "image")
+def test_decode_media_header_real_formats():
+    # hand-built fixtures, not make_media_bytes, so the parser and the
+    # generator can't share a bug
+    import struct
+
+    png = (b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + b"IHDR"
+           + struct.pack(">II", 640, 480) + b"\x08\x02\x00\x00\x00" + b"\x00" * 4)
+    d = MM.decode_media_header(png)
+    assert (d["codec"], d["width"], d["height"]) == ("png", 640, 480)
+
+    jpeg = (b"\xff\xd8"
+            + b"\xff\xe0" + struct.pack(">H", 4) + b"JF"          # APP0 to skip
+            + b"\xff\xc2" + struct.pack(">HBHHB", 17, 8, 1080, 1920, 3)
+            + b"\x01\x11\x00\x02\x11\x01\x03\x11\x01" + b"\xff\xd9")
+    d = MM.decode_media_header(jpeg)
+    assert (d["codec"], d["width"], d["height"]) == ("jpeg", 1920, 1080)
+
+    gif = b"GIF87a" + struct.pack("<HH", 320, 200) + b"\xf7\x00\x00"
+    d = MM.decode_media_header(gif)
+    assert (d["codec"], d["width"], d["height"]) == ("gif", 320, 200)
+
+    fmt_chunk = b"fmt " + struct.pack("<IHHIIHH", 16, 1, 2, 44100, 44100 * 4, 4, 16)
+    wav = (b"RIFF" + struct.pack("<I", 36 + 441000 * 4) + b"WAVE" + fmt_chunk
+           + b"data" + struct.pack("<I", 441000 * 4))
+    d = MM.decode_media_header(wav)
+    assert (d["codec"], d["channels"], d["sample_rate"], d["duration_ms"]) == (
+        "wav", 2, 44100, 10_000)
+
+    # junk / truncated payloads refuse rather than mis-parse
+    assert MM.decode_media_header(b"not media") is None
+    assert MM.decode_media_header(png[:10]) is None
+    assert MM.decode_media_header(b"") is None
+    assert MM.decode_media_header(b"\xff\xd8\xff\xd9") is None
