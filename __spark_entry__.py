@@ -1031,8 +1031,13 @@ def _q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ontology_learning_spark.operators.multimodal import decode_media, media_refs_from_spans
 
     media = media_refs_from_spans(_spans_docs(spark, sf_dir))
+    # every selected field is parsed by decode_media_header out of REAL
+    # planted container bytes (PNG IHDR / JPEG SOF / GIF LSD / WAV fmt)
+    # and recomputed by the oracle from the plant formula — the hash
+    # match proves the stdlib header parse round-trips
     return decode_media(media).select(
-        "doc_id", "media_ref", "width", "height", "n_frames", F.round("mean_luma", 4).alias("mean_luma")
+        "doc_id", "media_ref", "codec", "width", "height", "n_frames",
+        "channels", "sample_rate", "duration_ms",
     )
 
 
@@ -1729,13 +1734,21 @@ def oracle_sql() -> dict[str, str]:
                      'img://' || CAST(doc_id AS VARCHAR) || '/0' AS media_ref,
                      md5('img://' || CAST(doc_id AS VARCHAR) || '/0') AS h
               FROM documents
+            ), f AS (
+              SELECT *, ({_hexbyte('h', 4)} % 4) AS fmt FROM m
             )
             SELECT doc_id, media_ref,
-                   CAST(64 + ({_hexbyte('h', 0)} % 192) AS INT) AS width,
-                   CAST(64 + ({_hexbyte('h', 1)} % 192) AS INT) AS height,
+                   CASE fmt WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+                            WHEN 2 THEN 'gif' ELSE 'wav' END AS codec,
+                   CASE WHEN fmt < 3 THEN CAST(64 + ({_hexbyte('h', 0)} % 192) AS INT) END AS width,
+                   CASE WHEN fmt < 3 THEN CAST(64 + ({_hexbyte('h', 1)} % 192) AS INT) END AS height,
                    CAST(1 AS INT) AS n_frames,
-                   ROUND({_hexbyte('h', 3)} / 255.0, 4) AS mean_luma
-            FROM m
+                   CASE WHEN fmt = 3 THEN CAST(1 + ({_hexbyte('h', 0)} % 2) AS INT) END AS channels,
+                   CASE WHEN fmt = 3 THEN CAST(CASE ({_hexbyte('h', 1)} % 4)
+                        WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                        WHEN 2 THEN 44100 ELSE 48000 END AS INT) END AS sample_rate,
+                   CASE WHEN fmt = 3 THEN CAST(100 * (1 + ({_hexbyte('h', 2)} % 50)) AS INT) END AS duration_ms
+            FROM f
         """,
         "kg_pipeline_decisions": f"""
             WITH hits AS (

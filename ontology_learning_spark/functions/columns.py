@@ -18,6 +18,21 @@ from . import semantics as S
 # ---------------------------------------------------------------------------
 
 
+_PREP_COL_CACHE: dict[str, Column] = {}
+
+
+def preprocess_text_cached(name: str) -> Column:
+    """Memoized ``preprocess_text(F.col(name))``: the chain is ~20
+    py4j round trips (one per regexp_replace) that cost ~0.1-0.2 s of
+    driver time per plan build; the Column tree is immutable, so one
+    build per source column name serves every later plan."""
+    col = _PREP_COL_CACHE.get(name)
+    if col is None:
+        col = preprocess_text(F.col(name))
+        _PREP_COL_CACHE[name] = col
+    return col
+
+
 def preprocess_text(col: Column) -> Column:
     c = F.lower(col)
     c = F.regexp_replace(c, r"!\[(.*?)\]\(.*?\)", r"$1")   # md image -> alt

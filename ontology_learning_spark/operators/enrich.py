@@ -18,10 +18,21 @@ CONTEXT_CHUNKS = S.CONTEXT_CHUNKS
 CONTEXT_CAP = S.CONTEXT_CAP
 
 
-def concept_context(mentions: DataFrame, docs_text: DataFrame) -> DataFrame:
+def concept_context(
+    mentions: DataFrame, docs_text: DataFrame, text_builder=None
+) -> DataFrame:
     """E7: first N docs mentioning each concept, concatenated and capped.
 
     mentions: (doc_id, norm_surface, ...); docs_text: (doc_id, clean_text).
+
+    ``text_builder`` (optional): a frame→frame callable that ADDS the
+    clean_text column. When given, docs_text may be the raw spans table
+    and the text expression is evaluated only for the ≤N·|vocab| docs
+    that survive a semi-join on the top-N hit ids — without it, the
+    clean_text projection sits below the join and Catalyst evaluates it
+    for every corpus row, hit or not. The semi-join keeps the
+    evaluation once-per-DOC (building text above the row-multiplying
+    top join would recompute it once per concept-doc pair).
 
     Join order matters at scale: the top-N-docs window runs on BARE
     (concept, doc_id) pairs — 16 bytes/row — and only the <=N·|vocab|
@@ -55,9 +66,18 @@ def concept_context(mentions: DataFrame, docs_text: DataFrame) -> DataFrame:
     )
     w = Window.partitionBy("norm_surface").orderBy("doc_id")
     top = pre.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= CONTEXT_CHUNKS)
-    hit_docs = docs_text.join(
-        F.broadcast(top.select("norm_surface", "doc_id", "rn")), "doc_id"
-    )
+    top = top.select("norm_surface", "doc_id", "rn")
+    if text_builder is not None:
+        from ..functions.persistence import materialize
+
+        # top feeds two consumers here (the hit-id semi-join and the
+        # text join); pinning the N·|vocab|-row frame stops the corpus
+        # window chain from re-executing per consumer
+        top = materialize(top)
+        docs_text = text_builder(
+            docs_text.join(F.broadcast(top.select("doc_id").distinct()), "doc_id", "left_semi")
+        ).select("doc_id", "clean_text")
+    hit_docs = docs_text.join(F.broadcast(top), "doc_id")
     ctx = hit_docs.groupBy("norm_surface").agg(
         F.concat_ws(" ", F.array_sort(F.collect_list(F.struct("rn", "clean_text")))["clean_text"]).alias("_ctx_raw")
     )

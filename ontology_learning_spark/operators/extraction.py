@@ -34,9 +34,16 @@ from ..functions import semantics as S
 from ..functions.persistence import materialize
 
 # Output schema of the single extraction pass: mentions and triples are
-# carried as arrays and exploded afterwards; clean_text rides along so
-# consumers that need document text (concept context) never rescan the
-# corpus — the whole pipeline makes exactly ONE pass over raw documents.
+# carried as arrays and exploded afterwards. clean_text is NOT emitted:
+# through round 4 it rode along "so text consumers never rescan the
+# corpus", but that shipped every document body back over Arrow and
+# pinned it in the localCheckpoint, where every consumer re-deserialized it
+# (checkpoint blocks have no column pruning) — the extraction
+# materialize was measured at 568 of 854 core-s at 16 executors, mostly
+# memory-bandwidth stall. The one text consumer (concept context)
+# instead recomputes clean_text from the source with the pure-Catalyst
+# preprocess chain: register-bound CPU work that scales ~0.98 on the
+# profiled host, traded for the stored-text bytes that scale ~0.57.
 #
 # The E2 validity filter and E12 normalization run INSIDE the Python
 # pass, not relationally: surfaces repeat corpus-scale while the
@@ -47,7 +54,7 @@ from ..functions.persistence import materialize
 # Parity: the Python twins (semantics.is_valid_concept /
 # normalize_name) ARE the oracle's functions.
 _EXTRACT_SCHEMA = (
-    "doc_id string, clean_text string, "
+    "doc_id string, "
     "mentions array<struct<surface:string, norm_surface:string, char_offset:int>>, "
     "triples array<struct<subj:string, pred:string, obj:string>>"
 )
@@ -68,25 +75,33 @@ def _norm_or_none(surface: str) -> str | None:
     return v
 
 
+_SPAN_COL_CACHE: dict[str, "F.Column"] = {}
+
+
 def concat_text_spans(df: DataFrame, spans_col: str = "spans") -> DataFrame:
     """Add a ``doc_text`` column: text spans sorted by offset, joined by
-    a single space. Media spans contribute nothing; all spans survive."""
-    sorted_spans = F.array_sort(
-        F.col(spans_col),
-        lambda l, r: F.when(l["offset"] < r["offset"], F.lit(-1))
-        .when(l["offset"] > r["offset"], F.lit(1))
-        .otherwise(F.lit(0)),
-    )
-    texts = F.filter(
-        sorted_spans, lambda s: (s["kind"] == "text") & s["text"].isNotNull()
-    )
-    return df.withColumn(
-        "doc_text", F.array_join(F.transform(texts, lambda s: s["text"]), " ")
-    )
+    a single space. Media spans contribute nothing; all spans survive.
+    The Column tree (HOF lambdas = several py4j round trips) is
+    memoized per spans column name — it is rebuilt on every incremental
+    trigger otherwise."""
+    col = _SPAN_COL_CACHE.get(spans_col)
+    if col is None:
+        sorted_spans = F.array_sort(
+            F.col(spans_col),
+            lambda l, r: F.when(l["offset"] < r["offset"], F.lit(-1))
+            .when(l["offset"] > r["offset"], F.lit(1))
+            .otherwise(F.lit(0)),
+        )
+        texts = F.filter(
+            sorted_spans, lambda s: (s["kind"] == "text") & s["text"].isNotNull()
+        )
+        col = F.array_join(F.transform(texts, lambda s: s["text"]), " ")
+        _SPAN_COL_CACHE[spans_col] = col
+    return df.withColumn("doc_text", col)
 
 
 def preprocess(df: DataFrame, text_col: str = "doc_text") -> DataFrame:
-    return df.withColumn("clean_text", C.preprocess_text(F.col(text_col)))
+    return df.withColumn("clean_text", C.preprocess_text_cached(text_col))
 
 
 def extract(df: DataFrame, surfaces: tuple[str, ...]) -> DataFrame:
@@ -95,12 +110,11 @@ def extract(df: DataFrame, surfaces: tuple[str, ...]) -> DataFrame:
     def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         matcher = X.get_matcher(surfaces)  # built once per executor
         for pdf in batches:
-            out_doc, out_txt, out_m, out_t = [], [], [], []
+            out_doc, out_m, out_t = [], [], []
             for doc_id, text in zip(pdf["doc_id"], pdf["clean_text"]):
                 mentions = matcher.find(text or "")
                 triples = X.find_relations(text or "", surfaces)
                 out_doc.append(doc_id)
-                out_txt.append(text)
                 valid = []
                 for m in mentions:
                     norm = _norm_or_none(m.surface)
@@ -118,8 +132,7 @@ def extract(df: DataFrame, surfaces: tuple[str, ...]) -> DataFrame:
                         vt.append((na, p, nb))
                 out_t.append(vt)
             yield pd.DataFrame(
-                {"doc_id": out_doc, "clean_text": out_txt,
-                 "mentions": out_m, "triples": out_t}
+                {"doc_id": out_doc, "mentions": out_m, "triples": out_t}
             )
 
     return df.select("doc_id", "clean_text").mapInPandas(_run, _EXTRACT_SCHEMA)
@@ -167,26 +180,41 @@ def distinct_concepts(mentions: DataFrame, num_partitions: int | None = None) ->
 
 
 def extract_pipeline(
-    docs: DataFrame, surfaces: tuple[str, ...]
+    docs: DataFrame, surfaces: tuple[str, ...], pin: bool = True
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """documents(doc_id, spans) → (mentions, doc-level triples,
     preprocessed docs (doc_id, clean_text)).
 
     The mapInPandas output is EAGERLY materialized, not lazily cached:
-    it feeds several consumers (mentions, triples, context pairs), and
-    a lazy cache lets concurrent downstream stages race ahead of cache
-    population inside one job — event-log profiling showed the whole
-    Python extraction pass executing twice (~2x the corpus-scale
+    it feeds several consumers (mentions, triples), and a lazy cache
+    lets concurrent downstream stages race ahead of cache population
+    inside one job — event-log profiling showed the whole Python
+    extraction pass executing twice (~2x the corpus-scale
     core-seconds). ``materialize`` runs the pass exactly once (local
     mode: lineage-cutting localCheckpoint; cluster: replicated persist
     — see functions/persistence.py for the fault-tolerance trade).
+
+    The returned docs_text is LAZY — a pure-Catalyst recompute from the
+    source, not a slice of the checkpoint. Storing document text in the
+    checkpoint dominated its bytes (and checkpoint reads deserialize
+    full rows — no column pruning), so the text consumer trades a
+    second codegen pass over the source for not dragging every document
+    body through executor memory twice (see _EXTRACT_SCHEMA note).
+
+    ``pin=False`` skips the materialization for SINGLE-consumer plans —
+    a streaming foreachBatch sink that only writes the mentions table
+    pays one extra pass (the eager count) plus a memory copy of the
+    whole batch for a pin nothing re-reads; with multiple consumers it
+    must stay True or the Python pass re-runs per consumer.
     """
-    prepped = preprocess(concat_text_spans(docs)).select("doc_id", "spans", "clean_text")
-    extracted = materialize(extract(prepped, surfaces))
+    prepped = preprocess(concat_text_spans(docs)).select("doc_id", "clean_text")
+    extracted = extract(prepped, surfaces)
+    if pin:
+        extracted = materialize(extracted)
     return (
         mentions_table(extracted),
         triples_table(extracted),
-        extracted.select("doc_id", "clean_text"),
+        prepped,
     )
 
 

