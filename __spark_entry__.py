@@ -492,6 +492,17 @@ def _q_sim_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return A.similarity_distribution(matches)
 
 
+def _q_owl_same_as(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The owl:sameAs pairs the functional/inverse-functional axioms
+    force on the planted consistency graph (round-5 axiom-interaction
+    machinery; the clash SUBSET of these pairs is what
+    graph_consistency flags). Oracle: the same two self-joins in
+    DuckDB over the identical VALUES edges."""
+    from ontology_learning_spark.operators.exports import inferred_same_as
+
+    return inferred_same_as(_consistency_edges_df(spark))
+
+
 def _q_rel_nation_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = spark.read.parquet(f"{sf_dir}/customer.parquet")
     n = spark.read.parquet(f"{sf_dir}/nation.parquet")
@@ -734,6 +745,19 @@ _CONSISTENCY_EXTRA_EDGES = [
     ("weird part", "SUBCLASS_OF", "ActiveComponent"),
     ("Resistor", "RELATEDTO", "ghost node"),
     ("Capacitor", "PARTOF", "Transistor"),
+    # axiom-interaction plants (round 5): MADEBY is functional
+    # (maxCard 1), SERIALNO is inverse-functional. The "gadget x" /
+    # "sn-1" pairs straddle the disjoint Passive/Active families →
+    # clash; the "gadget y" / "sn-2" pairs stay inside one family →
+    # the reasoner merely infers owl:sameAs (NOT flagged).
+    ("gadget x", "MADEBY", "Capacitor"),
+    ("gadget x", "MADEBY", "Transistor"),
+    ("gadget y", "MADEBY", "Capacitor"),
+    ("gadget y", "MADEBY", "Inductor"),
+    ("Resistor", "SERIALNO", "sn-1"),
+    ("Diode", "SERIALNO", "sn-1"),
+    ("Capacitor", "SERIALNO", "sn-2"),
+    ("Inductor", "SERIALNO", "sn-2"),
 ]
 _CONSISTENCY_DISJOINT = [("PassiveComponent", "ActiveComponent")]
 
@@ -763,15 +787,49 @@ def _q_graph_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _consistency_oracle() -> str:
-    edge_vals = ", ".join(
+def _consistency_edge_values() -> str:
+    return ", ".join(
         f"('{a}', 'SUBCLASS_OF', '{b}')" for a, b in HIERARCHY
     ) + ", " + ", ".join(f"('{a}', '{r}', '{b}')" for a, r, b in _CONSISTENCY_EXTRA_EDGES)
+
+
+def _same_as_oracle() -> str:
+    from ontology_learning_spark.operators.exports import (
+        FUNCTIONAL_PREDICATES,
+        INVERSE_FUNCTIONAL_PREDICATES,
+    )
+
+    fpreds = ", ".join(f"'{p}'" for p in FUNCTIONAL_PREDICATES)
+    ipreds = ", ".join(f"'{p}'" for p in INVERSE_FUNCTIONAL_PREDICATES)
+    return f"""
+        WITH edges(src, rel_type, dst) AS (
+          SELECT DISTINCT * FROM (VALUES {_consistency_edge_values()}) t(src, rel_type, dst)
+        ),
+        fun AS (SELECT * FROM edges WHERE rel_type IN ({fpreds})),
+        ifp AS (SELECT * FROM edges WHERE rel_type IN ({ipreds}))
+        SELECT DISTINCT l.dst AS a, r.dst AS b, l.rel_type || ':' || l.src AS via
+        FROM fun l JOIN fun r
+          ON l.src = r.src AND l.rel_type = r.rel_type AND l.dst < r.dst
+        UNION
+        SELECT DISTINCT l.src AS a, r.src AS b, l.rel_type || ':' || l.dst AS via
+        FROM ifp l JOIN ifp r
+          ON l.dst = r.dst AND l.rel_type = r.rel_type AND l.src < r.src
+    """
+
+
+def _consistency_oracle() -> str:
+    edge_vals = _consistency_edge_values()
     node_vals = ", ".join(f"('{n}')" for n in _consistency_node_names())
     fam_a, fam_b = _CONSISTENCY_DISJOINT[0]
-    from ontology_learning_spark.operators.exports import DOMAIN_RANGE_PREDICATES
+    from ontology_learning_spark.operators.exports import (
+        DOMAIN_RANGE_PREDICATES,
+        FUNCTIONAL_PREDICATES,
+        INVERSE_FUNCTIONAL_PREDICATES,
+    )
 
     preds = ", ".join(f"'{p}'" for p in DOMAIN_RANGE_PREDICATES)
+    fpreds = ", ".join(f"'{p}'" for p in FUNCTIONAL_PREDICATES)
+    ipreds = ", ".join(f"'{p}'" for p in INVERSE_FUNCTIONAL_PREDICATES)
     return f"""
         WITH RECURSIVE edges(src, rel_type, dst) AS (
           SELECT * FROM (VALUES {edge_vals}) t(src, rel_type, dst)
@@ -815,6 +873,25 @@ def _consistency_oracle() -> str:
           FROM rel r
           WHERE r.src IN (SELECT name FROM d_b) AND r.dst IN (SELECT name FROM d_a)
         ) dr
+        UNION ALL
+        SELECT DISTINCT 'functional_cardinality_clash' AS issue_type, l.src AS subject,
+               l.rel_type || ' maxCard-1 with provably-distinct objects: '
+               || l.dst || ' vs ' || r.dst AS detail
+        FROM edges l JOIN edges r
+          ON l.src = r.src AND l.rel_type = r.rel_type AND l.dst < r.dst
+        WHERE l.rel_type IN ({fpreds})
+          AND ((l.dst IN (SELECT name FROM d_a) AND r.dst IN (SELECT name FROM d_b))
+            OR (l.dst IN (SELECT name FROM d_b) AND r.dst IN (SELECT name FROM d_a)))
+        UNION ALL
+        SELECT DISTINCT 'ifp_distinct_subjects_clash' AS issue_type, l.src AS subject,
+               l.rel_type || ' inverse-functional object ' || l.dst
+               || ' shared by provably-distinct subjects: '
+               || l.src || ' vs ' || r.src AS detail
+        FROM edges l JOIN edges r
+          ON l.dst = r.dst AND l.rel_type = r.rel_type AND l.src < r.src
+        WHERE l.rel_type IN ({ipreds})
+          AND ((l.src IN (SELECT name FROM d_a) AND r.src IN (SELECT name FROM d_b))
+            OR (l.src IN (SELECT name FROM d_b) AND r.src IN (SELECT name FROM d_a)))
     """
 
 
@@ -1142,6 +1219,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # A14 similarity distribution (the last §2.4 analytic that was
         # pytest-only through round 4)
         "sim_distribution": _q_sim_distribution,
+        # round-5 axiom-interaction inferences (clash subset lives in
+        # the registered graph_consistency query)
+        "owl_same_as": _q_owl_same_as,
     }
 
 
@@ -1661,6 +1741,7 @@ def oracle_sql() -> dict[str, str]:
             FROM l6 GROUP BY lbl HAVING COUNT(*) >= 2
         ''',
         "graph_consistency": _consistency_oracle(),
+        "owl_same_as": _same_as_oracle(),
         "schema_validation": """
             SELECT CASE WHEN doc_id % 7 = 0 THEN ''
                         ELSE 'doc-' || CAST(doc_id AS VARCHAR) END AS object_id,

@@ -187,14 +187,155 @@ def domain_range_violations(
     return out.distinct()
 
 
+#: Properties declared owl:FunctionalProperty (maxCardinality 1 on the
+#: subject side) / owl:InverseFunctionalProperty (the object uniquely
+#: identifies the subject) in the deterministic schema stand-in.
+FUNCTIONAL_PREDICATES = ("MADEBY",)
+INVERSE_FUNCTIONAL_PREDICATES = ("SERIALNO",)
+
+
+def _multi_valued(rel: DataFrame, key_cols: list[str], other: str) -> DataFrame:
+    """Rows of ``rel`` whose (key_cols) group carries ≥2 distinct
+    ``other`` values — the only groups a cardinality/IFP axiom can
+    touch. At corpus scale this prefilter keeps the pair self-join
+    input proportional to the VIOLATING key count (near zero on sane
+    data), not the edge count: one partial-agg shuffle on the key,
+    then a semi-join."""
+    keys = (
+        rel.groupBy(*key_cols)
+        .agg(F.count_distinct(F.col(other)).alias("_n"))
+        .where(F.col("_n") >= 2)
+        .drop("_n")
+    )
+    return rel.join(keys, key_cols, "left_semi")
+
+
+def axiom_interaction_clashes(
+    edges: DataFrame,
+    disjoint_pairs: list[tuple[str, str]],
+    functional_predicates: tuple[str, ...] = FUNCTIONAL_PREDICATES,
+    inverse_functional_predicates: tuple[str, ...] = INVERSE_FUNCTIONAL_PREDICATES,
+) -> DataFrame:
+    """A17 fourth + fifth axiom classes — the axiom INTERACTIONS a
+    reasoner derives, not bare cardinality counting (ref
+    src/evaluation/consistency.py:13-108 gets these from HermiT).
+
+    OWL has no unique-name assumption, so a functional property with
+    two objects is NOT by itself inconsistent — the reasoner infers
+    ``owl:sameAs`` between the objects (see :func:`inferred_same_as`).
+    It becomes unsatisfiable exactly when the two objects are PROVABLY
+    DISTINCT, which here means they sit under two declared-disjoint
+    class families:
+
+    - **functional_cardinality_clash**: subject s has ⟨s, p, o1⟩ and
+      ⟨s, p, o2⟩ for functional p with o1/o2 under disjoint families —
+      sameAs(o1, o2) forced by maxCard 1 contradicts the disjointness.
+    - **ifp_distinct_subjects_clash**: object o is shared by ⟨s1, p, o⟩
+      and ⟨s2, p, o⟩ for inverse-functional p with s1/s2 under disjoint
+      families — sameAs(s1, s2) forced by the IFP contradicts it.
+
+    Family membership = strict SUBCLASS_OF descendants (same rule the
+    other A17 checks use). Pairs are emitted once (lexicographic order)
+    and both disjointness orientations are checked against that one
+    ordering, so output is deterministic."""
+    from . import graph_ops as G
+
+    def _pair_frames(rel: DataFrame, key: str, other: str) -> DataFrame:
+        rel = _multi_valued(rel, [key, "rel_type"], other)
+        left = rel.select(
+            F.col(key).alias("_k"), "rel_type", F.col(other).alias("_a")
+        )
+        right = rel.select(
+            F.col(key).alias("_k"), "rel_type", F.col(other).alias("_b")
+        )
+        return left.join(right, ["_k", "rel_type"]).where(F.col("_a") < F.col("_b"))
+
+    rel_all = edges.select("src", "rel_type", "dst").distinct()
+    fun = rel_all.where(F.col("rel_type").isin(*functional_predicates))
+    ifp = rel_all.where(F.col("rel_type").isin(*inverse_functional_predicates))
+    fun_pairs = _pair_frames(fun, "src", "dst")   # (_k=subject, _a/_b=objects)
+    ifp_pairs = _pair_frames(ifp, "dst", "src")   # (_k=object, _a/_b=subjects)
+
+    frames = []
+    for fam_a, fam_b in disjoint_pairs:
+        da = G.descendants(edges, fam_a).select(F.col("name").alias("_m"))
+        db = G.descendants(edges, fam_b).select(F.col("name").alias("_m"))
+        for x, y in ((da, db), (db, da)):
+            hit_f = (
+                fun_pairs
+                .join(x.withColumnRenamed("_m", "_a"), "_a", "left_semi")
+                .join(y.withColumnRenamed("_m", "_b"), "_b", "left_semi")
+            )
+            frames.append(hit_f.select(
+                F.lit("functional_cardinality_clash").alias("issue_type"),
+                F.col("_k").alias("subject"),
+                F.concat_ws(
+                    " ", F.col("rel_type"),
+                    F.lit("maxCard-1 with provably-distinct objects:"),
+                    F.col("_a"), F.lit("vs"), F.col("_b"),
+                ).alias("detail"),
+            ))
+            hit_i = (
+                ifp_pairs
+                .join(x.withColumnRenamed("_m", "_a"), "_a", "left_semi")
+                .join(y.withColumnRenamed("_m", "_b"), "_b", "left_semi")
+            )
+            frames.append(hit_i.select(
+                F.lit("ifp_distinct_subjects_clash").alias("issue_type"),
+                F.col("_a").alias("subject"),
+                F.concat_ws(
+                    " ", F.col("rel_type"),
+                    F.lit("inverse-functional object"), F.col("_k"),
+                    F.lit("shared by provably-distinct subjects:"),
+                    F.col("_a"), F.lit("vs"), F.col("_b"),
+                ).alias("detail"),
+            ))
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out.distinct()
+
+
+def inferred_same_as(
+    edges: DataFrame,
+    functional_predicates: tuple[str, ...] = FUNCTIONAL_PREDICATES,
+    inverse_functional_predicates: tuple[str, ...] = INVERSE_FUNCTIONAL_PREDICATES,
+) -> DataFrame:
+    """The ``owl:sameAs`` pairs a reasoner DERIVES from the functional /
+    inverse-functional axioms (lexicographic (a, b) plus the mediating
+    predicate in ``via``). These are inferences, not violations — the
+    subset whose members are provably distinct is what
+    :func:`axiom_interaction_clashes` flags (on an inconsistent
+    ontology a reasoner infers everything; callers wanting only the
+    consistent merges should subtract the clash pairs). Feeds the same
+    merge machinery as near-dup canonicalization (M13)."""
+    rel_all = edges.select("src", "rel_type", "dst").distinct()
+
+    def _pairs(rel: DataFrame, key: str, other: str) -> DataFrame:
+        rel = _multi_valued(rel, [key, "rel_type"], other)
+        l = rel.select(F.col(key).alias("_k"), "rel_type", F.col(other).alias("a"))
+        r = rel.select(F.col(key).alias("_k"), "rel_type", F.col(other).alias("b"))
+        return (
+            l.join(r, ["_k", "rel_type"]).where(F.col("a") < F.col("b"))
+            .select("a", "b", F.concat_ws(":", F.col("rel_type"), F.col("_k")).alias("via"))
+        )
+
+    fun = _pairs(rel_all.where(F.col("rel_type").isin(*functional_predicates)), "src", "dst")
+    ifp = _pairs(rel_all.where(F.col("rel_type").isin(*inverse_functional_predicates)), "dst", "src")
+    return fun.unionByName(ifp).distinct()
+
+
 def consistency_report(edges: DataFrame, disjoint_pairs: list[tuple[str, str]],
                        nodes: DataFrame | None = None) -> DataFrame:
     """A17 combined report (issue_type, subject, detail) — the
     deterministic analogue of the reference HermiT run
     (src/evaluation/consistency.py:13-108): empty = CONSISTENT.
-    Covers three axiom classes: class disjointness, SUBCLASS_OF
-    acyclicity, and property domain/range (the latter only when a
-    ``nodes`` table is supplied)."""
+    Covers five axiom classes: class disjointness, SUBCLASS_OF
+    acyclicity, property domain/range (only when a ``nodes`` table is
+    supplied), and the two axiom-interaction classes — functional
+    maxCard-1 clashes and inverse-functional shared-object clashes
+    (both disjointness-mediated; see
+    :func:`axiom_interaction_clashes`)."""
     dv = disjointness_violations(edges, disjoint_pairs).select(
         F.lit("disjoint_class_violation").alias("issue_type"),
         F.col("name").alias("subject"),
@@ -205,7 +346,9 @@ def consistency_report(edges: DataFrame, disjoint_pairs: list[tuple[str, str]],
         F.col("name").alias("subject"),
         F.lit("member of a SUBCLASS_OF cycle").alias("detail"),
     )
-    out = dv.unionByName(cy)
+    out = dv.unionByName(cy).unionByName(
+        axiom_interaction_clashes(edges, disjoint_pairs)
+    )
     if nodes is not None:
         out = out.unionByName(domain_range_violations(nodes, edges, disjoint_pairs))
     return out

@@ -97,3 +97,55 @@ def test_subclass_cycles_and_consistency_report(spark):
         "src string, rel_type string, dst string",
     )
     assert EX.subclass_cycles(clean).count() == 0
+
+
+def test_axiom_interaction_clashes_and_same_as(spark):
+    """Functional / inverse-functional axioms interact with class
+    disjointness: two values only clash when provably distinct
+    (disjoint families); same-family pairs are sameAs INFERENCES and
+    must NOT be flagged."""
+    edges = spark.createDataFrame(
+        [
+            ("Capacitor", "SUBCLASS_OF", "PassiveComponent"),
+            ("Inductor", "SUBCLASS_OF", "PassiveComponent"),
+            ("Transistor", "SUBCLASS_OF", "ActiveComponent"),
+            ("Diode", "SUBCLASS_OF", "ActiveComponent"),
+            # functional MADEBY: cross-family → clash
+            ("gx", "MADEBY", "Capacitor"),
+            ("gx", "MADEBY", "Transistor"),
+            # functional MADEBY: same-family → sameAs only
+            ("gy", "MADEBY", "Capacitor"),
+            ("gy", "MADEBY", "Inductor"),
+            # single-valued functional: never in the pair join
+            ("gz", "MADEBY", "Diode"),
+            # IFP SERIALNO: shared object, cross-family subjects → clash
+            ("Capacitor", "SERIALNO", "sn1"),
+            ("Diode", "SERIALNO", "sn1"),
+            # IFP: shared object, same-family subjects → sameAs only
+            ("Transistor", "SERIALNO", "sn2"),
+            ("Diode", "SERIALNO", "sn2"),
+        ],
+        "src string, rel_type string, dst string",
+    )
+    disjoint = [("PassiveComponent", "ActiveComponent")]
+
+    clashes = EX.axiom_interaction_clashes(edges, disjoint).collect()
+    got = {(r["issue_type"], r["subject"]) for r in clashes}
+    assert got == {
+        ("functional_cardinality_clash", "gx"),
+        ("ifp_distinct_subjects_clash", "Capacitor"),
+    }
+    details = {r["detail"] for r in clashes}
+    assert "MADEBY maxCard-1 with provably-distinct objects: Capacitor vs Transistor" in details
+    assert ("SERIALNO inverse-functional object sn1 shared by "
+            "provably-distinct subjects: Capacitor vs Diode") in details
+
+    same = {(r["a"], r["b"], r["via"]) for r in EX.inferred_same_as(edges).collect()}
+    assert ("Capacitor", "Inductor", "MADEBY:gy") in same      # benign merge
+    assert ("Capacitor", "Transistor", "MADEBY:gx") in same    # clashing pair still inferred
+    assert ("Diode", "Transistor", "SERIALNO:sn2") in same
+    assert not any(v.startswith("MADEBY:gz") for _, _, v in same)
+
+    # report integration: clash rows ride along with the other classes
+    rep_types = {r["issue_type"] for r in EX.consistency_report(edges, disjoint).collect()}
+    assert {"functional_cardinality_clash", "ifp_distinct_subjects_clash"} <= rep_types
