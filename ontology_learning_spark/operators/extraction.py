@@ -190,9 +190,11 @@ def extract_pipeline(
     lets concurrent downstream stages race ahead of cache population
     inside one job — event-log profiling showed the whole Python
     extraction pass executing twice (~2x the corpus-scale
-    core-seconds). ``materialize`` runs the pass exactly once (local
-    mode: lineage-cutting localCheckpoint; cluster: replicated persist
-    — see functions/persistence.py for the fault-tolerance trade).
+    core-seconds). ``materialize`` runs the pass exactly once
+    (single-host local masters: lineage-cutting localCheckpoint;
+    real clusters: compressed columnar checkpoint so each consumer leg
+    re-reads pruned, compressed columns instead of full raw blocks —
+    see functions/persistence.py for the strategy matrix).
 
     The returned docs_text is LAZY — a pure-Catalyst recompute from the
     source, not a slice of the checkpoint. Storing document text in the
@@ -210,7 +212,7 @@ def extract_pipeline(
     prepped = preprocess(concat_text_spans(docs)).select("doc_id", "clean_text")
     extracted = extract(prepped, surfaces)
     if pin:
-        extracted = materialize(extracted)
+        extracted = materialize(extracted, corpus_scale=True)
     return (
         mentions_table(extracted),
         triples_table(extracted),

@@ -99,7 +99,7 @@ def run_pipeline(
     # scan-heavy stages are exactly the ones that inflate under high
     # parallelism (memory-bandwidth-bound, unlike the Python
     # extraction pass which scales near-perfectly).
-    mentions = materialize(mentions_raw)
+    mentions = materialize(mentions_raw, corpus_scale=True)
     _mark("extract_done")
 
     # The concept DIMENSION is |vocabulary|-sized, orders of magnitude

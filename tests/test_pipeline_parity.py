@@ -77,3 +77,18 @@ def test_span_sequence_invariant(docs_df, fixture_docs):
             for s in sorted(doc["spans"], key=lambda s: s["offset"])
         ]
         assert got[doc["doc_id"]] == expected
+
+
+def test_parquet_checkpoint_pipeline_equivalence(spark, docs_df, result, monkeypatch):
+    """The flagship's output must be invariant to the corpus-checkpoint
+    strategy: forcing the multi-executor parquet mode (zstd round trip
+    + per-leg column pruning) yields the same triples and decision mix
+    as the default block checkpoint this module's golden tests pin."""
+    monkeypatch.setenv("OLS_CORPUS_CHECKPOINT", "parquet")
+    alt = run_pipeline(spark, docs_df)
+    base_triples = {tuple(r) for r in result.triples.select("subj", "pred", "obj").collect()}
+    alt_triples = {tuple(r) for r in alt.triples.select("subj", "pred", "obj").collect()}
+    assert alt_triples == base_triples
+    base_mix = sorted(map(tuple, result.decisions.groupBy("decision").count().collect()))
+    alt_mix = sorted(map(tuple, alt.decisions.groupBy("decision").count().collect()))
+    assert alt_mix == base_mix

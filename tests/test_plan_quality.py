@@ -149,3 +149,35 @@ def test_top_docs_window_group_limit_and_equivalence(spark):
     a = sorted(map(tuple, EN.top_docs_per_concept(m, salted=False).collect()))
     b = sorted(map(tuple, EN.top_docs_per_concept(m, salted=True).collect()))
     assert a == b
+
+
+def test_parquet_checkpoint_equivalence_pruning_and_empty(spark, monkeypatch):
+    """The corpus-scale checkpoint's parquet strategy (multi-executor
+    masters) must return identical rows, expose column pruning to its
+    consumers (a one-column reader of the pin must scan ONE column —
+    the whole point vs raw blocks), keep the writer's schema for an
+    EMPTY input, and honor the blocks override."""
+    from ontology_learning_spark.functions.persistence import materialize
+
+    monkeypatch.setenv("OLS_CORPUS_CHECKPOINT", "parquet")
+    df = spark.createDataFrame(
+        [(f"d{i}", [f"m{i}", "x"], [f"t{i}"]) for i in range(50)],
+        "doc_id string, mentions array<string>, triples array<string>",
+    )
+    pinned = materialize(df, corpus_scale=True)
+    assert sorted(map(tuple, pinned.collect())) == sorted(map(tuple, df.collect()))
+    assert pinned.schema == df.schema
+
+    pruned_plan = _plan(pinned.select("mentions"))
+    assert "ReadSchema" in pruned_plan
+    assert "mentions" in pruned_plan.split("ReadSchema:")[1][:120]
+    assert "triples" not in pruned_plan.split("ReadSchema:")[1][:120]
+
+    empty = materialize(df.where(F.lit(False)), corpus_scale=True)
+    assert empty.count() == 0
+    assert empty.schema == df.schema
+
+    monkeypatch.setenv("OLS_CORPUS_CHECKPOINT", "blocks")
+    blocks = materialize(df, corpus_scale=True)
+    assert "Scan ExistingRDD" in _plan(blocks) or "LocalTableScan" in _plan(blocks) \
+        or "Scan parquet" not in _plan(blocks)
