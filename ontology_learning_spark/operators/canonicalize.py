@@ -41,6 +41,20 @@ def connected_components(
     neighbours' labels; converges in diameter rounds, which is small
     for alias graphs — chains are short, hubs are depth-1).
     """
+    # Shuffle budget per round: the labels-onto-edges join exchanges
+    # both sides plus one aggregation exchange. Pre-partitioning the
+    # edge set to make the joins exchange-free does NOT survive in
+    # current Spark: with AQE enabled the LogicalRDD a localCheckpoint
+    # (or the InMemoryRelation a persist) leaves behind reports no
+    # outputPartitioning, so every round re-exchanges regardless
+    # (measured on 4.1; explicit-count repartition changes nothing).
+    # The lever that DOES survive is catalog metadata: for repeated CC
+    # over a stable edge set, write it bucketed by dst
+    # (sources/bucketing.py) and the join side drops out. What this
+    # loop owns instead: the convergence check is FUSED into the label
+    # update below (a _changed flag on the frame we pin anyway) —
+    # the old separate new-vs-old join cost a third join + two more
+    # exchanges + an extra pass per round.
     e = _symmetrize(edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")))
     e = e.localCheckpoint()
 
@@ -52,13 +66,17 @@ def connected_components(
     ).localCheckpoint()
 
     for _ in range(max_iter):
-        # neighbour min-label: join labels onto edge dst, group by src
+        # neighbour min-label: join labels onto edge dst, aggregate
+        # min per src (the message exchange of label propagation)
         neigh = (
             e.join(labels.withColumnRenamed("node", "dst"), "dst")
             .groupBy("src")
             .agg(F.min("component").alias("neigh_min"))
             .withColumnRenamed("src", "node")
         )
+        # Label update carries its own convergence flag: the old
+        # per-round (new JOIN old ON node) changed-count shuffle is
+        # replaced by a scan of the frame we just pinned anyway.
         new_labels = (
             labels.join(neigh, "node", "left")
             .select(
@@ -66,16 +84,13 @@ def connected_components(
                 F.least(
                     F.col("component"), F.coalesce(F.col("neigh_min"), F.col("component"))
                 ).alias("component"),
+                (F.coalesce(F.col("neigh_min"), F.col("component")) < F.col("component")
+                 ).alias("_changed"),
             )
         ).localCheckpoint()
 
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.component") != F.col("o.component"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.where("_changed").count()
+        labels = new_labels.drop("_changed")
         if changed == 0:
             break
 
