@@ -81,3 +81,43 @@ def test_bucketed_join_no_shuffle(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS bt_left")
         spark.sql("DROP TABLE IF EXISTS bt_right")
+
+
+def test_bucketed_cc_equivalence_and_edge_side_no_exchange(spark):
+    """connected_components_bucketed must (a) return the same
+    components as the checkpoint-based loop and (b) actually deliver
+    the claimed plan: the bucketed corpus-scale edge side of the
+    per-round join carries NO exchange — only the node-sized labels
+    side shuffles."""
+    from pyspark.sql import functions as F
+
+    from ontology_learning_spark.operators import canonicalize as CC
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("x", "y"),
+         ("hub", "p1"), ("hub", "p2"), ("hub", "p3")],
+        "src string, dst string",
+    )
+    try:
+        base = {tuple(r) for r in CC.connected_components(edges).collect()}
+        buck = {tuple(r) for r in CC.connected_components_bucketed(
+            edges, n_buckets=8, table="cc_bt_test").collect()}
+        assert base == buck
+
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            e = spark.table("cc_bt_test")
+            labels = (
+                e.select(F.col("src").alias("node"))
+                .union(e.select(F.col("dst").alias("node")))
+                .distinct().withColumn("component", F.col("node"))
+            ).localCheckpoint()
+            j = e.join(labels.withColumnRenamed("node", "dst"), "dst")
+            plan = j._jdf.queryExecution().executedPlan().toString()
+            assert "Bucketed: true" in plan
+            assert plan.count("Exchange hashpartitioning") == 1, plan
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS cc_bt_test")
