@@ -731,6 +731,26 @@ def _qa_edges_df(spark: SparkSession) -> DataFrame:
     )
 
 
+# Concept properties for the NL property-lookup forms the reference
+# transcript shows (sample_qa.txt: manufacturer-of, impedance-of) —
+# the shape E9 property extraction produces.
+_PROP_ROWS = [
+    ("smd resistor", "manufacturer", "acme components"),
+    ("smd resistor", "elec:resistance", "10 kOhm"),
+    ("wifi antenna", "elec:impedance", "50 Ohm"),
+    ("wifi antenna", "manufacturer", "antennas inc"),
+    ("smd capacitor", "elec:capacitance", "10 uF"),
+]
+
+
+def _qa_props_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(_PROP_ROWS, "name string, prop string, value string")
+
+
+def _prop_values() -> str:
+    return ", ".join(f"('{n}', '{p}', '{v}')" for n, p, v in _PROP_ROWS)
+
+
 # A17 consistency: planted violations of each axiom class, plus the
 # two-cycles-connected-by-a-path pattern (bridge m) that an exact SCC
 # check must NOT flag (the round-2 sink/source peel did).
@@ -915,6 +935,42 @@ def _q_qa_corpus_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     names = Q.create_qa_views(spark, _qa_nodes_df(spark), _qa_edges_df(spark))
     return Q.evaluate_query_corpus(spark, names).orderBy("query")
+
+
+def _q_qa_nl_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic NL→SQL QA chain (reference qa_system.py:36-75
+    minus the LLM): the 16-question battery routed by the template
+    router, each compiled query run on Spark. The oracle runs the
+    IDENTICAL compiled SQL on DuckDB over the same VALUES graph — a
+    full cross-engine check of the router's query generation."""
+    from ontology_learning_spark.operators import qa_nl as N
+
+    _qa_nodes_df(spark).createOrReplaceTempView("ont_nodes")
+    _qa_edges_df(spark).createOrReplaceTempView("ont_edges")
+    _qa_props_df(spark).createOrReplaceTempView("ont_props")
+    return N.qa_nl_eval(spark)
+
+
+def _qa_nl_oracle() -> str:
+    from ontology_learning_spark.operators.qa_nl import qa_nl_eval_sql
+
+    node_vals = ", ".join(
+        f"('{n}', '{s}', {str(r).upper()}, "
+        + ("NULL" if c is None else f"CAST({c} AS DOUBLE)")
+        + f", 'https://example.org/elec/{n}')"
+        for n, s, r, c in _NODE_ROWS
+    )
+    return f"""
+        WITH ont_nodes AS (
+          SELECT * FROM (VALUES {node_vals})
+          t(name, source, needs_review, confidence, uri)
+        ), ont_edges AS (
+          SELECT * FROM (VALUES {_full_edge_values()}) t(src, rel_type, dst)
+        ), ont_props AS (
+          SELECT * FROM (VALUES {_prop_values()}) t(name, prop, value)
+        )
+        {qa_nl_eval_sql()}
+    """
 
 
 def _qa_oracle() -> str:
@@ -1222,6 +1278,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-5 axiom-interaction inferences (clash subset lives in
         # the registered graph_consistency query)
         "owl_same_as": _q_owl_same_as,
+        # round-5 deterministic NL→SQL QA chain (template router over
+        # the §2.5 graph views; qa_nl.py)
+        "qa_nl_eval": _q_qa_nl_eval,
     }
 
 
@@ -1742,6 +1801,7 @@ def oracle_sql() -> dict[str, str]:
         ''',
         "graph_consistency": _consistency_oracle(),
         "owl_same_as": _same_as_oracle(),
+        "qa_nl_eval": _qa_nl_oracle(),
         "schema_validation": """
             SELECT CASE WHEN doc_id % 7 = 0 THEN ''
                         ELSE 'doc-' || CAST(doc_id AS VARCHAR) END AS object_id,
