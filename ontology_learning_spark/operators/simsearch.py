@@ -451,3 +451,185 @@ def ivf_topk(
     assigned = assign_ivf(df, centroids, vec_col, id_col)
     cand = assigned.where(F.col("ivf_cluster").isin(probes))
     return brute_force_topk(cand, query_vec, k, vec_col, id_col)
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ): per-subspace codebooks + asymmetric-distance
+# (ADC) scan, and the IVF-PQ composition — the memory-scale ANN path.
+#
+# Why this matters at 100 TB: a float32 embedding column at d=768 is
+# 3 KB/row; PQ codes at m=16 are 16 B/row (~200x). The ADC scan reads
+# ONLY the code column (parquet column pruning) and scores a row with m
+# table lookups instead of d multiplies; combined with a precomputed
+# ivf_cluster partition column the probe is partition pruning over a
+# ~200x smaller table. Codebook training is FAISS-style: a bounded,
+# deterministic sample (never the corpus) collected once to the driver.
+# ---------------------------------------------------------------------------
+
+
+def train_pq_codebooks(
+    df: DataFrame,
+    m: int = 8,
+    n_codes: int = 256,
+    sample_size: int = 10_000,
+    n_iters: int = 10,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> np.ndarray:
+    """Train per-subspace k-means codebooks; returns (m, n_codes, d/m).
+
+    The sample is deterministic and bounded regardless of corpus size:
+    a pushed-down hash filter keeps ~2x sample_size rows, and only that
+    filtered subset is sorted (by the same hash) before the limit — no
+    full-corpus sort, no unbounded collect. Lloyd runs in numpy on the
+    driver over the sample (the standard PQ training regime; the
+    corpus-side work is encode, below). Deterministic for a given
+    (seed, corpus): hash order is data-defined, not partition-defined.
+    """
+    n = df.count()
+    frac_denom = max(1, n // max(1, 2 * sample_size))
+    h = F.pmod(F.xxhash64(F.col(id_col).cast("string")) + F.lit(seed), F.lit(frac_denom * 1000))
+    sample_rows = (
+        df.select(F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v"), h.alias("h"))
+        .where(F.col("h") < 1000)
+        .orderBy("h", "id")
+        .limit(sample_size)
+        .collect()
+    )
+    X = np.stack([np.asarray(r["v"], dtype=np.float64) for r in sample_rows])
+    d = X.shape[1]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    sub = d // m
+    k = min(n_codes, X.shape[0])
+    rng = np.random.RandomState(seed)
+    books = np.empty((m, k, sub), dtype=np.float64)
+    for j in range(m):
+        Xj = X[:, j * sub:(j + 1) * sub]
+        # seeded init from distinct sample rows; classic Lloyd
+        init_idx = rng.permutation(Xj.shape[0])[:k]
+        C_ = Xj[init_idx].copy()
+        for _ in range(n_iters):
+            dist = (C_ * C_).sum(axis=1)[None, :] - 2.0 * (Xj @ C_.T)
+            a = np.argmin(dist, axis=1)
+            newC = C_.copy()
+            for c in range(k):
+                mask = a == c
+                if mask.any():
+                    newC[c] = Xj[mask].mean(axis=0)
+                else:
+                    # empty cluster: reseed on the point farthest from
+                    # its centroid (deterministic)
+                    worst = int(np.argmax(dist[np.arange(len(a)), a]))
+                    newC[c] = Xj[worst]
+            if np.allclose(newC, C_, atol=1e-10):
+                C_ = newC
+                break
+            C_ = newC
+        books[j] = C_
+    return books
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: np.ndarray,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    keep_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """(id, pq_code: array<smallint>) — one argmin matmul per subspace
+    per Arrow batch. This is the one corpus-wide pass PQ needs; at
+    scale its output is written once (partitioned by ivf_cluster for
+    IVF-PQ) and every query reads codes only."""
+    m, k, sub = codebooks.shape
+    c_sq = (codebooks * codebooks).sum(axis=2)  # (m, k)
+
+    @F.pandas_udf(T.ArrayType(T.ShortType()))
+    def enc(vecs: pd.Series) -> pd.Series:
+        V = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        codes = np.empty((V.shape[0], m), dtype=np.int16)
+        for j in range(m):
+            Vj = V[:, j * sub:(j + 1) * sub]
+            dist = c_sq[j][None, :] - 2.0 * (Vj @ codebooks[j].T)
+            codes[:, j] = np.argmin(dist, axis=1).astype(np.int16)
+        return pd.Series(list(codes))
+
+    return df.select(
+        F.col(id_col),
+        *[F.col(c) for c in keep_cols],
+        enc(F.col(vec_col).cast("array<double>")).alias("pq_code"),
+    )
+
+
+def _adc_score_udf(query_vec: list[float], codebooks: np.ndarray):
+    """Approximate-cosine scorer over code columns: per query, an
+    (m, k) lookup table of subvector dot products and the codeword
+    norms; per row, m gathers — no float vectors touched."""
+    m, k, sub = codebooks.shape
+    q = np.asarray(query_vec, dtype=np.float64)
+    if q.shape[0] != m * sub:
+        raise ValueError(f"query dim {q.shape[0]} != {m * sub}")
+    qn = float(np.linalg.norm(q))
+    lut_dot = np.stack(
+        [codebooks[j] @ q[j * sub:(j + 1) * sub] for j in range(m)]
+    )  # (m, k)
+    lut_nsq = (codebooks * codebooks).sum(axis=2)  # (m, k)
+
+    @F.pandas_udf(T.DoubleType())
+    def adc(codes: pd.Series) -> pd.Series:
+        Cd = np.stack([np.asarray(c, dtype=np.int64) for c in codes])  # (n, m)
+        rows = np.arange(m)
+        dots = lut_dot[rows[None, :], Cd].sum(axis=1)
+        nsq = lut_nsq[rows[None, :], Cd].sum(axis=1)
+        denom = qn * np.sqrt(nsq)
+        return pd.Series(np.where(denom == 0, 0.0, dots / np.where(denom == 0, 1.0, denom)))
+
+    return adc
+
+
+def pq_topk(
+    codes_df: DataFrame,
+    query_vec: list[float],
+    codebooks: np.ndarray,
+    k: int = 10,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """ADC top-k over a pre-encoded code table (from ``pq_encode``).
+    Score is the approximate cosine between the query and each row's
+    PQ reconstruction (subspace norms compose exactly, so the only
+    approximation is quantization itself). Plan: scan codes → Arrow
+    scorer → TakeOrderedAndProject, same zero-WindowExec shape as
+    brute_force_topk."""
+    from ..functions.windows import ranked_topk
+
+    scored = codes_df.select(
+        F.col(id_col), _adc_score_udf(query_vec, codebooks)(F.col("pq_code")).alias("adc_cosine")
+    )
+    return ranked_topk(scored, "adc_cosine", id_col, k).select(id_col, "adc_cosine", "rank")
+
+
+def ivf_pq_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    k: int = 10,
+    n_probe: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF coarse pruning + PQ ADC scoring — the composed scale path.
+
+    Here assignment + encoding run inline for composability; at scale
+    both are precomputed once (``pq_encode(..., keep_cols=("ivf_cluster",))``
+    written partitioned by ivf_cluster), making the probe a partition-
+    pruned scan of a codes-only table. n_probe = all clusters degrades
+    exactly to ``pq_topk`` over every code (the pytest pins this)."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    dist = (centroids * centroids).sum(axis=1) - 2.0 * (centroids @ q)
+    probes = [int(i) for i in np.argsort(dist)[:n_probe]]
+    assigned = assign_ivf(df, centroids, vec_col, id_col)
+    cand = assigned.where(F.col("ivf_cluster").isin(probes))
+    codes = pq_encode(cand, codebooks, vec_col, id_col)
+    return pq_topk(codes, query_vec, codebooks, k, id_col)
