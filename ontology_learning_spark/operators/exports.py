@@ -352,3 +352,120 @@ def consistency_report(edges: DataFrame, disjoint_pairs: list[tuple[str, str]],
     if nodes is not None:
         out = out.unionByName(domain_range_violations(nodes, edges, disjoint_pairs))
     return out
+
+
+# ---------------------------------------------------------------------------
+# RDF serialization (S11 family): N-Triples for corpus-scale triple
+# tables, Turtle for the vocabulary-bounded ontology graph.
+#
+# Reference parity: the reference exports JSON-LD schema objects
+# (schema_org_relation_extractor → @graph) and stores the graph in
+# Neo4j; N-Triples/Turtle are the interchange formats an OWL toolchain
+# (the A17 consistency surface) actually consumes. No reference code
+# involved — serialization follows the W3C N-Triples/Turtle grammars.
+# ---------------------------------------------------------------------------
+
+_NT_DEFAULT_BASE = "http://example.org/ontology#"
+
+
+def _iri_term(col, base: str):
+    """IRI term: percent-encode the local name (url_encode is form
+    encoding, so its '+' for space is rewritten to '%20')."""
+    enc = F.replace(F.url_encode(col), F.lit("+"), F.lit("%20"))
+    return F.concat(F.lit(f"<{base}"), enc, F.lit(">"))
+
+
+def _literal_term(col):
+    """N-Triples string literal: escape backslash first, then quote,
+    LF, CR, TAB (literal replaces — no regex engine in the hot path)."""
+    esc = F.replace(col, F.lit("\\"), F.lit("\\\\"))
+    esc = F.replace(esc, F.lit('"'), F.lit('\\"'))
+    esc = F.replace(esc, F.lit("\n"), F.lit("\\n"))
+    esc = F.replace(esc, F.lit("\r"), F.lit("\\r"))
+    esc = F.replace(esc, F.lit("\t"), F.lit("\\t"))
+    return F.concat(F.lit('"'), esc, F.lit('"'))
+
+
+def ntriples_lines(
+    edges: DataFrame,
+    props: DataFrame | None = None,
+    base_iri: str = _NT_DEFAULT_BASE,
+) -> DataFrame:
+    """One N-Triples line per edge (src/rel_type/dst as IRIs) and per
+    property row (name/prop IRIs + escaped string literal). Pure
+    Catalyst projection → line-oriented text: the export distributes
+    and scales with the triple table, one output part per partition."""
+    lines = edges.select(
+        F.concat_ws(
+            " ",
+            _iri_term(F.col("src"), base_iri),
+            _iri_term(F.col("rel_type"), base_iri),
+            _iri_term(F.col("dst"), base_iri),
+            F.lit("."),
+        ).alias("value")
+    )
+    if props is not None:
+        lines = lines.unionByName(
+            props.select(
+                F.concat_ws(
+                    " ",
+                    _iri_term(F.col("name"), base_iri),
+                    _iri_term(F.col("prop"), base_iri),
+                    _literal_term(F.col("value").cast("string")),
+                    F.lit("."),
+                ).alias("value")
+            )
+        )
+    return lines
+
+
+def export_ntriples(
+    edges: DataFrame,
+    path: str,
+    props: DataFrame | None = None,
+    base_iri: str = _NT_DEFAULT_BASE,
+) -> None:
+    """Distributed N-Triples export (part files are valid N-Triples
+    documents individually — the format is line-delimited, so readers
+    concatenate parts in any order)."""
+    ntriples_lines(edges, props, base_iri).write.mode("overwrite").text(path)
+
+
+def turtle_document(
+    edges: DataFrame,
+    props: DataFrame | None = None,
+    prefix: str = "ont",
+    base_iri: str = _NT_DEFAULT_BASE,
+) -> str:
+    """Single Turtle document for the ONTOLOGY graph — which is
+    vocabulary-bounded (|V|+|E| ≪ corpus, the qa_views scale note), so
+    a driver-side render is O(graph), never O(corpus). Predicates are
+    grouped per subject with ';' continuation. For corpus-scale triple
+    tables use export_ntriples instead."""
+    import urllib.parse
+
+    def t(name: str) -> str:
+        return f"{prefix}:{urllib.parse.quote(str(name), safe='')}"
+
+    def lit(v: str) -> str:
+        s = (
+            str(v)
+            .replace("\\", "\\\\")
+            .replace('"', '\\"')
+            .replace("\n", "\\n")
+            .replace("\r", "\\r")
+            .replace("\t", "\\t")
+        )
+        return f'"{s}"'
+
+    by_subject: dict[str, list[str]] = {}
+    for r in edges.select("src", "rel_type", "dst").collect():
+        by_subject.setdefault(r["src"], []).append(f"{t(r['rel_type'])} {t(r['dst'])}")
+    if props is not None:
+        for r in props.select("name", "prop", "value").collect():
+            by_subject.setdefault(r["name"], []).append(f"{t(r['prop'])} {lit(r['value'])}")
+    out = [f"@prefix {prefix}: <{base_iri}> .", ""]
+    for subj in sorted(by_subject):
+        preds = sorted(by_subject[subj])
+        out.append(f"{t(subj)} " + " ;\n    ".join(preds) + " .")
+    return "\n".join(out) + "\n"

@@ -149,3 +149,94 @@ def test_axiom_interaction_clashes_and_same_as(spark):
     # report integration: clash rows ride along with the other classes
     rep_types = {r["issue_type"] for r in EX.consistency_report(edges, disjoint).collect()}
     assert {"functional_cardinality_clash", "ifp_distinct_subjects_clash"} <= rep_types
+
+
+# ---------------------------------------------------------------------------
+# RDF export (round 5)
+# ---------------------------------------------------------------------------
+
+_NT_RE = None
+
+
+def _parse_nt_line(line):
+    """Tiny independent N-Triples reader for the round-trip check."""
+    import re
+    import urllib.parse
+
+    global _NT_RE
+    if _NT_RE is None:
+        _NT_RE = re.compile(
+            r'^<([^>]*)> <([^>]*)> (?:<([^>]*)>|"((?:[^"\\]|\\.)*)") \.$'
+        )
+    m = _NT_RE.match(line)
+    assert m, f"unparseable N-Triples line: {line!r}"
+    base = "http://example.org/ontology#"
+
+    def local(iri):
+        assert iri.startswith(base)
+        return urllib.parse.unquote(iri[len(base):])
+
+    s, p = local(m.group(1)), local(m.group(2))
+    if m.group(3) is not None:
+        return (s, p, ("iri", local(m.group(3))))
+    raw = m.group(4)
+    out, i = [], 0
+    esc = {"\\": "\\", '"': '"', "n": "\n", "r": "\r", "t": "\t"}
+    while i < len(raw):
+        if raw[i] == "\\":
+            out.append(esc[raw[i + 1]])
+            i += 2
+        else:
+            out.append(raw[i])
+            i += 1
+    return (s, p, ("lit", "".join(out)))
+
+
+def test_ntriples_round_trip_with_hostile_strings(spark, tmp_path):
+    from ontology_learning_spark.operators.exports import export_ntriples
+
+    edges = spark.createDataFrame(
+        [
+            ("Antenna", "SUBCLASS_OF", "Component"),
+            ("RF Filter", "RELATEDTO", "Antenna"),   # space in name
+            ("Üñïçôde", "SUBCLASS_OF", "Component"),  # non-ASCII
+        ],
+        "src string, rel_type string, dst string",
+    )
+    props = spark.createDataFrame(
+        [
+            ("Antenna", "impedance", "50 Ω"),
+            ("Antenna", "note", 'line1\nline2\t"quoted" back\\slash'),
+        ],
+        "name string, prop string, value string",
+    )
+    path = str(tmp_path / "nt")
+    export_ntriples(edges, path, props=props)
+    lines = [r["value"] for r in spark.read.text(path).collect()]
+    parsed = {_parse_nt_line(ln) for ln in lines}
+    want = {
+        ("Antenna", "SUBCLASS_OF", ("iri", "Component")),
+        ("RF Filter", "RELATEDTO", ("iri", "Antenna")),
+        ("Üñïçôde", "SUBCLASS_OF", ("iri", "Component")),
+        ("Antenna", "impedance", ("lit", "50 Ω")),
+        ("Antenna", "note", ("lit", 'line1\nline2\t"quoted" back\\slash')),
+    }
+    assert parsed == want
+
+
+def test_turtle_document_grouping_and_escaping(spark):
+    from ontology_learning_spark.operators.exports import turtle_document
+
+    edges = spark.createDataFrame(
+        [("A", "SUBCLASS_OF", "B"), ("A", "RELATEDTO", "C")],
+        "src string, rel_type string, dst string",
+    )
+    props = spark.createDataFrame(
+        [("A", "note", 'x"y')], "name string, prop string, value string"
+    )
+    doc = turtle_document(edges, props)
+    assert doc.startswith("@prefix ont: <http://example.org/ontology#> .")
+    # one subject block, predicates ';'-joined, literal quote escaped
+    assert doc.count(" .") == 1 + doc.count("@prefix")  # prefix line + subject block
+    assert "ont:A " in doc and ";" in doc
+    assert '\\"y"' in doc
