@@ -1160,6 +1160,30 @@ def _q_emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_emb_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ ADC top-(N_PLANTED+1) over the planted neighborhood,
+    projected to sorted ids: with k = plant size + 1 the ADC top-k SET
+    is exactly {query} ∪ planted (the margin between the plant's
+    ~1.0 cosines and the natural corpus dwarfs quantization error), so
+    the id set — though not the within-plant order, which quantization
+    legitimately ties — is oracle-comparable against exact top-k."""
+    from ontology_learning_spark.operators.simsearch import (
+        pq_encode,
+        pq_topk,
+        train_pq_codebooks,
+    )
+
+    aug = _aug_embeddings(spark, sf_dir)
+    books = train_pq_codebooks(aug, m=8, n_codes=64, sample_size=4096, seed=42)
+    qvec = [float(x) for x in aug.where(F.col("vec_id") == 0).first()["embedding"]]
+    codes = pq_encode(aug, books)
+    return (
+        pq_topk(codes, qvec, books, k=N_PLANTED + 1)
+        .select("vec_id")
+        .orderBy("vec_id")
+    )
+
+
 def _q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ontology_learning_spark.operators.multimodal import decode_media, media_refs_from_spans
 
@@ -1281,6 +1305,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-5 deterministic NL→SQL QA chain (template router over
         # the §2.5 graph views; qa_nl.py)
         "qa_nl_eval": _q_qa_nl_eval,
+        # round-5 product-quantization ANN (ADC over codes; set-exact
+        # on the planted neighborhood at k = plant + 1)
+        "emb_pq_topk": _q_emb_pq_topk,
     }
 
 
@@ -1935,6 +1962,15 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY list_cosine_similarity(embedding,
                      (SELECT embedding FROM aug WHERE vec_id = 0)) DESC, vec_id ASC
             LIMIT 10
+        """,
+        "emb_pq_topk": f"""
+            {_AUG_SQL}
+            SELECT vec_id FROM (
+              SELECT vec_id FROM aug
+              ORDER BY list_cosine_similarity(embedding,
+                       (SELECT embedding FROM aug WHERE vec_id = 0)) DESC, vec_id ASC
+              LIMIT {N_PLANTED + 1}
+            ) ORDER BY vec_id
         """,
         "emb_label_centroid_norms": """
             WITH u AS (
