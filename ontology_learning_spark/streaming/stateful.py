@@ -80,15 +80,20 @@ def streaming_exact_dedup(
     text_col: str = "text",
     id_col: str = "doc_id",
     timeout_sec: int = 300,
+    max_files_per_trigger: int | None = None,
 ) -> None:
     """availableNow stream: new document files → first-seen docs only.
 
     Re-invoking with the same checkpoint after more files land
     processes just the delta AND remembers every hash emitted before —
     the cross-batch guarantee the batch path can't give without
-    re-reading its whole output.
+    re-reading its whole output. ``max_files_per_trigger`` bounds the
+    per-microbatch footprint (availableNow still drains everything).
     """
-    stream = spark.readStream.schema(schema).parquet(input_dir)
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(input_dir)
     hashed = stream.select(
         F.md5(F.coalesce(F.col(text_col), F.lit(""))).alias("content_hash"),
         F.col(id_col).alias("doc_id"),
