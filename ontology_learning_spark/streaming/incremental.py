@@ -122,3 +122,79 @@ def run_incremental_batch(
     mentions.write.mode("overwrite").parquet(f"{output_dir}/batch_id={batch_id}")
     mp.write_text(json.dumps({"files": files, "n_batches": batch_id + 1}))
     return len(new)
+
+
+def run_incremental_triples(
+    spark: SparkSession,
+    input_dir: str,
+    graph_root: str,
+    checkpoint_dir: str,
+    surfaces: tuple[str, ...],
+    timeout_sec: int = 300,
+) -> None:
+    """availableNow stream: new document files → per-batch distinct
+    (subj, pred, obj) triple tables under ``graph_root/triples/``.
+
+    Triple extraction is per-document (E4 scans sentences of one doc),
+    so batch boundaries cannot change WHAT is extracted — only how the
+    rows are grouped into batch directories. The same batch_id-scoped
+    OVERWRITE used by run_incremental_extraction makes replays
+    idempotent; ``fold_graph`` below turns the directories into the
+    merged ontology graph.
+    """
+    stream = (
+        spark.readStream.schema(DOCUMENT_SCHEMA)
+        .option("maxFilesPerTrigger", 64)
+        .parquet(input_dir)
+    )
+
+    def _process(batch_df, batch_id: int) -> None:
+        par = batch_df.sparkSession.sparkContext.defaultParallelism
+        if batch_df.rdd.getNumPartitions() < par:
+            batch_df = batch_df.repartition(par)
+        _, doc_triples, _ = E.extract_pipeline(batch_df, surfaces, pin=False)
+        (
+            doc_triples.select("subj", "pred", "obj").distinct()
+            .write.mode("overwrite")
+            .parquet(f"{graph_root}/triples/batch_id={batch_id}")
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
+
+
+def fold_graph(spark: SparkSession, graph_root: str, hierarchy: list[tuple[str, str]]):
+    """Fold every committed triple batch into the baseline graph with
+    the SAME merge operator batch mode uses (tables.merge_graph), in
+    batch_id order. First-writer-wins on the name / (src, rel_type,
+    dst) merge keys makes the fold's node and edge SETS equal to one
+    batch-mode merge over the concatenated triples (the edge run_id
+    records which batch introduced the edge and legitimately differs —
+    the streaming parity pytest compares everything else).
+
+    Each fold step is materialized so the plan stays shallow — B
+    batches cost B bounded jobs, not one B-deep window tree. At real
+    scale each step is an Iceberg MERGE INTO; this fold is the same
+    associative-idempotent contract expressed over directories.
+    """
+    from ..functions.persistence import materialize
+    from ..sources.tables import baseline_graph, merge_graph
+
+    nodes, edges = baseline_graph(spark, hierarchy)
+    troot = Path(graph_root) / "triples"
+    batch_ids = sorted(
+        int(p.name.split("=")[1]) for p in troot.glob("batch_id=*") if p.is_dir()
+    )
+    empty_tasks = spark.createDataFrame(
+        [], "name string, parent_class string, status string"
+    )
+    for b in batch_ids:
+        triples_b = spark.read.parquet(str(troot / f"batch_id={b}"))
+        nodes, edges = merge_graph(nodes, edges, empty_tasks, triples_b, run_id=f"batch-{b}")
+        nodes, edges = materialize(nodes), materialize(edges)
+    return nodes, edges

@@ -1,0 +1,64 @@
+"""Streaming graph maintenance: per-batch triple extraction folded
+through merge_graph equals one batch-mode merge over the union —
+node sets exactly, edge sets up to run_id (which records the
+introducing batch by design)."""
+
+from __future__ import annotations
+
+from ontology_learning_spark.fixtures import baseline
+from ontology_learning_spark.fixtures.generator import DOCUMENT_SCHEMA
+from ontology_learning_spark.streaming.incremental import (
+    fold_graph,
+    run_incremental_triples,
+)
+
+SURFACES = ("resistor", "antenna", "capacitor", "diode", "sensor")
+
+
+def _node_set(nodes):
+    return {tuple(r) for r in nodes.collect()}
+
+
+def _edge_set(edges):
+    return {(r["src"], r["rel_type"], r["dst"], r["source"]) for r in edges.collect()}
+
+
+def test_streaming_fold_equals_batch_merge(spark, tmp_path, fixture_docs):
+    from ontology_learning_spark.operators import extraction as E
+    from ontology_learning_spark.sources.tables import baseline_graph, merge_graph
+
+    in_dir, groot, ckpt = (str(tmp_path / d) for d in ("in", "graph", "ckpt"))
+    hierarchy = baseline.ONTOLOGY_HIERARCHY
+
+    # two file drops, two availableNow runs against one checkpoint
+    spark.createDataFrame(fixture_docs[:60], DOCUMENT_SCHEMA).write.mode(
+        "append"
+    ).parquet(in_dir)
+    run_incremental_triples(spark, in_dir, groot, ckpt, SURFACES)
+    spark.createDataFrame(fixture_docs[60:], DOCUMENT_SCHEMA).write.mode(
+        "append"
+    ).parquet(in_dir)
+    run_incremental_triples(spark, in_dir, groot, ckpt, SURFACES)
+
+    s_nodes, s_edges = fold_graph(spark, groot, hierarchy)
+
+    # batch twin: one extraction over the union, one merge
+    all_docs = spark.createDataFrame(fixture_docs, DOCUMENT_SCHEMA)
+    _, doc_triples, _ = E.extract_pipeline(all_docs, SURFACES, pin=False)
+    b_nodes, b_edges = baseline_graph(spark, hierarchy)
+    empty_tasks = spark.createDataFrame([], "name string, parent_class string, status string")
+    b_nodes, b_edges = merge_graph(
+        b_nodes, b_edges, empty_tasks,
+        doc_triples.select("subj", "pred", "obj").distinct(), run_id="batch",
+    )
+
+    assert _node_set(s_nodes) == _node_set(b_nodes)
+    assert _edge_set(s_edges) == _edge_set(b_edges)
+    # the streamed graph actually learned something beyond baseline
+    assert s_edges.where("source = 'learned_from_dataset'").count() > 0
+
+    # no new files -> re-running the stream + fold is a no-op
+    run_incremental_triples(spark, in_dir, groot, ckpt, SURFACES)
+    s_nodes2, s_edges2 = fold_graph(spark, groot, hierarchy)
+    assert _node_set(s_nodes2) == _node_set(s_nodes)
+    assert _edge_set(s_edges2) == _edge_set(s_edges)
