@@ -778,6 +778,12 @@ _CONSISTENCY_EXTRA_EDGES = [
     ("Diode", "SERIALNO", "sn-1"),
     ("Capacitor", "SERIALNO", "sn-2"),
     ("Inductor", "SERIALNO", "sn-2"),
+    # property-characteristic plants (round 5): HASPART is declared
+    # asymmetric + irreflexive and is NOT a domain/range predicate, so
+    # these three rows feed exactly the two new checks and nothing else
+    ("gear x", "HASPART", "gear y"),
+    ("gear y", "HASPART", "gear x"),
+    ("gear z", "HASPART", "gear z"),
 ]
 _CONSISTENCY_DISJOINT = [("PassiveComponent", "ActiveComponent")]
 
@@ -791,14 +797,16 @@ def _consistency_edges_df(spark: SparkSession) -> DataFrame:
 def _consistency_node_names() -> list[str]:
     names = {c for c, _ in HIERARCHY} | {p for _, p in HIERARCHY} | {
         "loop a", "loop b", "loop c", "loop d", "bridge m", "weird part",
+        "gear x", "gear y", "gear z",
     }  # 'ghost node' deliberately undeclared
     return sorted(names)
 
 
 def _q_graph_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A17 combined report (disjointness + exact SUBCLASS_OF cycle
-    membership + property domain/range) over the planted graph; the
-    oracle recomputes all three axiom classes in recursive SQL."""
+    """A17 combined report (disjointness, exact SUBCLASS_OF cycle
+    membership, property domain/range, functional/IFP interaction
+    clashes, asymmetry, irreflexivity) over the planted graph; the
+    oracle recomputes all seven axiom classes in recursive SQL."""
     from ontology_learning_spark.operators.exports import consistency_report
 
     nodes = spark.createDataFrame([(n,) for n in _consistency_node_names()], "name string")
@@ -842,14 +850,18 @@ def _consistency_oracle() -> str:
     node_vals = ", ".join(f"('{n}')" for n in _consistency_node_names())
     fam_a, fam_b = _CONSISTENCY_DISJOINT[0]
     from ontology_learning_spark.operators.exports import (
+        ASYMMETRIC_PREDICATES,
         DOMAIN_RANGE_PREDICATES,
         FUNCTIONAL_PREDICATES,
         INVERSE_FUNCTIONAL_PREDICATES,
+        IRREFLEXIVE_PREDICATES,
     )
 
     preds = ", ".join(f"'{p}'" for p in DOMAIN_RANGE_PREDICATES)
     fpreds = ", ".join(f"'{p}'" for p in FUNCTIONAL_PREDICATES)
     ipreds = ", ".join(f"'{p}'" for p in INVERSE_FUNCTIONAL_PREDICATES)
+    apreds = ", ".join(f"'{p}'" for p in ASYMMETRIC_PREDICATES)
+    irpreds = ", ".join(f"'{p}'" for p in IRREFLEXIVE_PREDICATES)
     return f"""
         WITH RECURSIVE edges(src, rel_type, dst) AS (
           SELECT * FROM (VALUES {edge_vals}) t(src, rel_type, dst)
@@ -912,6 +924,16 @@ def _consistency_oracle() -> str:
         WHERE l.rel_type IN ({ipreds})
           AND ((l.src IN (SELECT name FROM d_a) AND r.src IN (SELECT name FROM d_b))
             OR (l.src IN (SELECT name FROM d_b) AND r.src IN (SELECT name FROM d_a)))
+        UNION ALL
+        SELECT DISTINCT 'asymmetric_property_violation' AS issue_type, l.src AS subject,
+               l.rel_type || ' both ways with ' || l.dst AS detail
+        FROM edges l JOIN edges r
+          ON l.rel_type = r.rel_type AND l.src = r.dst AND l.dst = r.src
+        WHERE l.rel_type IN ({apreds}) AND l.src <> l.dst
+        UNION ALL
+        SELECT DISTINCT 'irreflexive_property_violation' AS issue_type, src AS subject,
+               rel_type || ' self-loop' AS detail
+        FROM edges WHERE rel_type IN ({irpreds}) AND src = dst
     """
 
 

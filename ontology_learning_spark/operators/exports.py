@@ -325,17 +325,60 @@ def inferred_same_as(
     return fun.unionByName(ifp).distinct()
 
 
+# OWL 2 property-characteristic axioms (AsymmetricObjectProperty /
+# IrreflexiveObjectProperty — HermiT checks these structurally; ref
+# src/evaluation/consistency.py:13-108 loads the schema that declares
+# them). Part-whole and taxonomy predicates are asymmetric and
+# irreflexive by the domain schema.
+ASYMMETRIC_PREDICATES = ("SUBCLASS_OF", "HASPART", "PARTOF")
+IRREFLEXIVE_PREDICATES = ("SUBCLASS_OF", "HASPART", "PARTOF")
+
+
+def property_axiom_violations(edges: DataFrame) -> DataFrame:
+    """A17 sixth/seventh axiom classes: P(a,b) ∧ P(b,a) for a declared
+    asymmetric P (a≠b — self-loops report once, under irreflexivity),
+    and P(a,a) for a declared irreflexive P. Both are single
+    equi-self-joins/filters on the vocabulary-bounded edge set."""
+    e = edges.select("src", "rel_type", "dst").distinct()
+    l, r = e.alias("l"), e.alias("r")
+    asym = (
+        l.join(
+            r,
+            (F.col("l.rel_type") == F.col("r.rel_type"))
+            & (F.col("l.src") == F.col("r.dst"))
+            & (F.col("l.dst") == F.col("r.src")),
+        )
+        .where(F.col("l.rel_type").isin(list(ASYMMETRIC_PREDICATES)))
+        .where(F.col("l.src") != F.col("l.dst"))
+        .select(
+            F.lit("asymmetric_property_violation").alias("issue_type"),
+            F.col("l.src").alias("subject"),
+            F.concat(F.col("l.rel_type"), F.lit(" both ways with "), F.col("l.dst")).alias("detail"),
+        )
+    )
+    irr = e.where(
+        F.col("rel_type").isin(list(IRREFLEXIVE_PREDICATES)) & (F.col("src") == F.col("dst"))
+    ).select(
+        F.lit("irreflexive_property_violation").alias("issue_type"),
+        F.col("src").alias("subject"),
+        F.concat(F.col("rel_type"), F.lit(" self-loop")).alias("detail"),
+    )
+    return asym.unionByName(irr).distinct()
+
+
 def consistency_report(edges: DataFrame, disjoint_pairs: list[tuple[str, str]],
                        nodes: DataFrame | None = None) -> DataFrame:
     """A17 combined report (issue_type, subject, detail) — the
     deterministic analogue of the reference HermiT run
     (src/evaluation/consistency.py:13-108): empty = CONSISTENT.
-    Covers five axiom classes: class disjointness, SUBCLASS_OF
+    Covers seven axiom classes: class disjointness, SUBCLASS_OF
     acyclicity, property domain/range (only when a ``nodes`` table is
-    supplied), and the two axiom-interaction classes — functional
+    supplied), the two axiom-interaction classes — functional
     maxCard-1 clashes and inverse-functional shared-object clashes
     (both disjointness-mediated; see
-    :func:`axiom_interaction_clashes`)."""
+    :func:`axiom_interaction_clashes`) — and the two
+    property-characteristic classes (asymmetry, irreflexivity; see
+    :func:`property_axiom_violations`)."""
     dv = disjointness_violations(edges, disjoint_pairs).select(
         F.lit("disjoint_class_violation").alias("issue_type"),
         F.col("name").alias("subject"),
@@ -348,7 +391,7 @@ def consistency_report(edges: DataFrame, disjoint_pairs: list[tuple[str, str]],
     )
     out = dv.unionByName(cy).unionByName(
         axiom_interaction_clashes(edges, disjoint_pairs)
-    )
+    ).unionByName(property_axiom_violations(edges))
     if nodes is not None:
         out = out.unionByName(domain_range_violations(nodes, edges, disjoint_pairs))
     return out

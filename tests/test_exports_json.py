@@ -240,3 +240,28 @@ def test_turtle_document_grouping_and_escaping(spark):
     assert doc.count(" .") == 1 + doc.count("@prefix")  # prefix line + subject block
     assert "ont:A " in doc and ";" in doc
     assert '\\"y"' in doc
+
+
+def test_property_axiom_violations(spark):
+    from ontology_learning_spark.operators import exports as EX
+
+    edges = spark.createDataFrame(
+        [
+            ("a", "HASPART", "b"),
+            ("b", "HASPART", "a"),      # asymmetric clash (both subjects)
+            ("c", "HASPART", "c"),      # irreflexive clash
+            ("x", "HASPART", "y"),      # one-way: fine
+            ("p", "RELATEDTO", "q"),
+            ("q", "RELATEDTO", "p"),    # RELATEDTO is not declared asymmetric
+        ],
+        "src string, rel_type string, dst string",
+    )
+    rows = {(r["issue_type"], r["subject"]) for r in EX.property_axiom_violations(edges).collect()}
+    assert rows == {
+        ("asymmetric_property_violation", "a"),
+        ("asymmetric_property_violation", "b"),
+        ("irreflexive_property_violation", "c"),
+    }
+    # clean one-way graph -> empty
+    clean = spark.createDataFrame([("a", "HASPART", "b")], "src string, rel_type string, dst string")
+    assert EX.property_axiom_violations(clean).count() == 0
