@@ -168,3 +168,93 @@ def batch_exact_dedup_equivalent(
     return exact_dedup(
         spark.read.schema(schema).parquet(input_dir), text_col, id_col
     )
+
+
+# ---------------------------------------------------------------------------
+# A15 live: conceptual saturation over ARRIVAL batches. The batch
+# operator (analytics.conceptual_saturation) replays history in
+# doc_id-rank batches; this one measures the real thing — how many
+# never-before-seen concepts each microbatch of newly-landed documents
+# contributes — with the same first-seen state machinery as the dedup
+# above, keyed by normalized concept surface (vocabulary-sized state,
+# not corpus-sized).
+# ---------------------------------------------------------------------------
+
+_SAT_OUTPUT_SCHEMA = "concept string, batch_mentions bigint"
+
+
+def _first_seen_concept(
+    key: Tuple[str], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    n = 0
+    for pdf in pdfs:
+        n += len(pdf)
+    if state.exists:
+        return iter(())
+    state.update((True,))
+    return iter((pd.DataFrame({"concept": [key[0]], "batch_mentions": [n]}),))
+
+
+def streaming_concept_saturation(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    surfaces: tuple[str, ...],
+    timeout_sec: int = 300,
+    max_files_per_trigger: int | None = None,
+) -> None:
+    """availableNow stream: docs → mention extraction (the SAME pure
+    mapInPandas transformation batch E1 uses — streaming-legal because
+    it is stateless per document) → first-seen concept filter → one
+    batch_id-scoped parquet per microbatch. ``saturation_curve`` turns
+    the directories into the A15 shape."""
+    from ..fixtures.generator import DOCUMENT_SCHEMA
+    from ..operators import extraction as E
+
+    reader = spark.readStream.schema(DOCUMENT_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    docs = reader.parquet(input_dir)
+    clean = E.preprocess(E.concat_text_spans(docs))
+    mentions = E.extract(clean, surfaces).select(
+        F.explode("mentions").alias("m")
+    ).select(F.col("m.norm_surface").alias("concept"))
+    firsts = mentions.groupBy("concept").applyInPandasWithState(
+        _first_seen_concept,
+        outputStructType=_SAT_OUTPUT_SCHEMA,
+        stateStructType=_DEDUP_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+    def _sink(batch_df, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(f"{output_dir}/batch_id={batch_id}")
+
+    q = (
+        firsts.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
+
+
+def saturation_curve(spark: SparkSession, output_dir: str) -> DataFrame:
+    """(batch_id, new_concepts, cumulative_concepts) from the committed
+    first-seen directories — the A15 saturation curve over arrival
+    order. The cumulative window is over batch ids (bounded), not rows."""
+    from pyspark.sql import Window
+
+    per_batch = (
+        spark.read.option("basePath", output_dir)
+        .parquet(f"{output_dir}/batch_id=*")
+        .groupBy("batch_id")
+        .agg(F.count("*").alias("new_concepts"))
+    )
+    w = Window.orderBy("batch_id").rowsBetween(Window.unboundedPreceding, 0)
+    # single unpartitioned window is fine: one row per MICROBATCH
+    return per_batch.select(
+        "batch_id", "new_concepts",
+        F.sum("new_concepts").over(w).alias("cumulative_concepts"),
+    ).orderBy("batch_id")

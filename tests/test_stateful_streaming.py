@@ -9,6 +9,8 @@ from __future__ import annotations
 
 import datetime as dt
 
+from pyspark.sql import functions as F
+
 from ontology_learning_spark.streaming.stateful import (
     batch_exact_dedup_equivalent,
     streaming_exact_dedup,
@@ -82,3 +84,48 @@ def test_streaming_windowed_counts_watermark(spark, tmp_path):
     assert got == {0: 2, 10: 1, 60: 1}, rows
     # [02:00,02:10) is still open at drain: correctly NOT emitted
     assert len(rows) == 3
+
+
+def test_streaming_concept_saturation(spark, tmp_path, fixture_docs):
+    from ontology_learning_spark.fixtures.generator import DOCUMENT_SCHEMA
+    from ontology_learning_spark.operators import extraction as E
+    from ontology_learning_spark.streaming.stateful import (
+        saturation_curve,
+        streaming_concept_saturation,
+    )
+
+    in_dir, out_dir, ckpt = (str(tmp_path / d) for d in ("in", "out", "ckpt"))
+    surfaces = ("resistor", "antenna", "capacitor", "diode", "sensor")
+
+    spark.createDataFrame(fixture_docs[:50], DOCUMENT_SCHEMA).write.mode(
+        "append"
+    ).parquet(in_dir)
+    streaming_concept_saturation(spark, in_dir, out_dir, ckpt, surfaces)
+    c1 = saturation_curve(spark, out_dir).collect()
+    assert len(c1) >= 1 and all(r["new_concepts"] > 0 for r in c1)
+
+    spark.createDataFrame(fixture_docs[50:], DOCUMENT_SCHEMA).write.mode(
+        "append"
+    ).parquet(in_dir)
+    streaming_concept_saturation(spark, in_dir, out_dir, ckpt, surfaces)
+    curve = saturation_curve(spark, out_dir).collect()
+
+    # cumulative is monotone and the final total equals the BATCH
+    # distinct-concept count over the union (first-seen across the
+    # whole stream == distinct across the whole corpus)
+    cums = [r["cumulative_concepts"] for r in curve]
+    assert cums == sorted(cums)
+    all_docs = spark.createDataFrame(fixture_docs, DOCUMENT_SCHEMA)
+    batch_distinct = (
+        E.extract(E.preprocess(E.concat_text_spans(all_docs)), surfaces)
+        .select(F.explode("mentions").alias("m"))
+        .select("m.norm_surface").distinct().count()
+    )
+    assert cums[-1] == batch_distinct
+    # later batches introduce strictly fewer new concepts than the
+    # first (saturation) — and a re-run with no new files adds nothing
+    assert curve[-1]["new_concepts"] <= curve[0]["new_concepts"]
+    streaming_concept_saturation(spark, in_dir, out_dir, ckpt, surfaces)
+    assert [tuple(r) for r in saturation_curve(spark, out_dir).collect()] == [
+        tuple(r) for r in curve
+    ]
