@@ -39,6 +39,7 @@ BENCH_QUERIES = [
     "text_lang_id",
     "emb_topk",
     "emb_near_dups",
+    "emb_pq_topk",
     "rel_q1_pricing",
     "rel_topk_customers",
     "rel_events_cumsum",
@@ -74,7 +75,7 @@ def run_suite(master: str, sf_dir: str, pipeline_only: bool = False,
     # Warm the JVM/codegen so measurements aren't dominated by startup.
     spark.read.parquet(f"{sf_dir}/documents.parquet").count()
 
-    qs = entry_mod.queries()
+    qs = {**entry_mod.queries(), **entry_mod.extra_queries()}
     timings: dict[str, float] = {}
 
     # Headline: flagship pipeline triples/sec over the seeded
