@@ -512,3 +512,52 @@ def turtle_document(
         preds = sorted(by_subject[subj])
         out.append(f"{t(subj)} " + " ;\n    ".join(preds) + " .")
     return "\n".join(out) + "\n"
+
+
+def graphml_document(
+    nodes: DataFrame | None,
+    edges: DataFrame,
+) -> str:
+    """GraphML document for the vocabulary-bounded ontology graph —
+    the interchange format graph tools (Gephi/yEd/networkx) read,
+    standing in for the reference's pyvis/matplotlib visualizers
+    (knowledge_graph_visualizer.py) whose rendering layer is out of
+    engine scope. Driver-side render is O(graph), same contract as
+    :func:`turtle_document`; node attributes (source, needs_review)
+    and the edge rel_type travel as GraphML keys. XML escaping via
+    stdlib saxutils — hostile names round-trip (pytest parses the
+    output back with ElementTree)."""
+    from xml.sax.saxutils import escape, quoteattr
+
+    out = [
+        '<?xml version="1.0" encoding="UTF-8"?>',
+        '<graphml xmlns="http://graphml.graphdrawing.org/xmlns">',
+        '<key id="source" for="node" attr.name="source" attr.type="string"/>',
+        '<key id="needs_review" for="node" attr.name="needs_review" attr.type="boolean"/>',
+        '<key id="rel_type" for="edge" attr.name="rel_type" attr.type="string"/>',
+        '<graph id="ontology" edgedefault="directed">',
+    ]
+    declared = set()
+    if nodes is not None:
+        for r in nodes.select("name", "source", "needs_review").collect():
+            declared.add(r["name"])
+            out.append(
+                f"<node id={quoteattr(str(r['name']))}>"
+                f"<data key=\"source\">{escape(str(r['source'] or ''))}</data>"
+                f"<data key=\"needs_review\">{str(bool(r['needs_review'])).lower()}</data>"
+                "</node>"
+            )
+    edge_rows = edges.select("src", "rel_type", "dst").collect()
+    for r in edge_rows:  # endpoints missing a node row still need declaring
+        for n in (r["src"], r["dst"]):
+            if n not in declared:
+                declared.add(n)
+                out.append(f"<node id={quoteattr(str(n))}/>")
+    for i, r in enumerate(sorted(edge_rows)):
+        out.append(
+            f"<edge id=\"e{i}\" source={quoteattr(str(r['src']))} "
+            f"target={quoteattr(str(r['dst']))}>"
+            f"<data key=\"rel_type\">{escape(str(r['rel_type']))}</data></edge>"
+        )
+    out.extend(["</graph>", "</graphml>"])
+    return "\n".join(out) + "\n"

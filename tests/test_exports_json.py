@@ -265,3 +265,37 @@ def test_property_axiom_violations(spark):
     # clean one-way graph -> empty
     clean = spark.createDataFrame([("a", "HASPART", "b")], "src string, rel_type string, dst string")
     assert EX.property_axiom_violations(clean).count() == 0
+
+
+def test_graphml_round_trip(spark):
+    import xml.etree.ElementTree as ET
+
+    from ontology_learning_spark.operators.exports import graphml_document
+
+    nodes = spark.createDataFrame(
+        [("A&B <weird>", "Baseline", False), ('q"uote', "learned_from_dataset", True)],
+        "name string, source string, needs_review boolean",
+    )
+    edges = spark.createDataFrame(
+        [("A&B <weird>", "SUBCLASS_OF", 'q"uote'), ('q"uote', "RELATEDTO", "undeclared ünït")],
+        "src string, rel_type string, dst string",
+    )
+    doc = graphml_document(nodes, edges)
+    ns = {"g": "http://graphml.graphdrawing.org/xmlns"}
+    root = ET.fromstring(doc)
+    graph = root.find("g:graph", ns)
+    node_ids = {n.get("id") for n in graph.findall("g:node", ns)}
+    assert node_ids == {"A&B <weird>", 'q"uote', "undeclared ünït"}
+    got_edges = {
+        (e.get("source"), e.find("g:data", ns).text, e.get("target"))
+        for e in graph.findall("g:edge", ns)
+    }
+    assert got_edges == {
+        ("A&B <weird>", "SUBCLASS_OF", 'q"uote'),
+        ('q"uote', "RELATEDTO", "undeclared ünït"),
+    }
+    review = {
+        n.get("id"): [d for d in n.findall("g:data", ns) if d.get("key") == "needs_review"]
+        for n in graph.findall("g:node", ns)
+    }
+    assert review['q"uote'][0].text == "true"
