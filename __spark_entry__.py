@@ -692,6 +692,42 @@ def _q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _docs(spark, sf_dir).select("doc_id", lang_id(F.col("text")).alias("lang_pred"))
 
 
+def _plant_pii(docs: DataFrame) -> DataFrame:
+    """Deterministically append PII to a doc_id-keyed subset of the
+    corpus (the synthetic text is PII-free word soup, so the scrub
+    operator needs planted positives AND untouched negatives). The
+    DuckDB oracle replays the identical CASE/concat plant."""
+    d = F.col("doc_id")
+    return docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(d % 5 == 0, F.concat(
+                F.lit(" contact user"), d.cast("string"), F.lit("@example.com now"))
+            ).otherwise(F.lit("")),
+            F.when(d % 7 == 0, F.concat(
+                F.lit(" call 555-010-"), F.lpad((d % 10000).cast("string"), 4, "0"))
+            ).otherwise(F.lit("")),
+            F.when(d % 11 == 0, F.concat(
+                F.lit(" host 10.0."), (d % 256).cast("string"), F.lit("."),
+                (d % 100).cast("string"), F.lit(" up"))
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+
+
+def _q_text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ontology_learning_spark.operators.textstats import pii_report
+
+    return pii_report(_plant_pii(_docs(spark, sf_dir)))
+
+
+def _q_text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ontology_learning_spark.operators.textstats import tfidf_top_terms
+
+    return tfidf_top_terms(_docs(spark, sf_dir), k=3)
+
+
 def _q_emb_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ontology_learning_spark.operators.simsearch import brute_force_topk
 
@@ -1330,6 +1366,10 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-5 product-quantization ANN (ADC over codes; set-exact
         # on the planted neighborhood at k = plant + 1)
         "emb_pq_topk": _q_emb_pq_topk,
+        # round-5 training-pipeline text ops: PII scrub (counts + md5 of
+        # the redacted bytes) and integer-exact TF-IDF top-k per doc
+        "text_pii_scrub": _q_text_pii_scrub,
+        "text_tfidf_topk": _q_text_tfidf_topk,
     }
 
 
@@ -1785,6 +1825,48 @@ def oracle_sql() -> dict[str, str]:
                         WHEN v_fr = greatest(v_en, v_de, v_fr, v_es) THEN 'fr'
                         ELSE 'es' END AS lang_pred
             FROM v
+        """,
+        "text_pii_scrub": """
+            WITH planted AS (
+              SELECT doc_id,
+                     text
+                     || CASE WHEN doc_id % 5 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now' ELSE '' END
+                     || CASE WHEN doc_id % 7 = 0 THEN ' call 555-010-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
+                     || CASE WHEN doc_id % 11 = 0 THEN ' host 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.' || CAST(doc_id % 100 AS VARCHAR) || ' up' ELSE '' END
+                     AS text
+              FROM documents
+            )
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}')) AS INT) AS n_emails,
+                   CAST(len(regexp_extract_all(text, '\\d{3}[- ]\\d{3}[- ]\\d{4}')) AS INT) AS n_phones,
+                   CAST(len(regexp_extract_all(text, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS INT) AS n_ipv4,
+                   md5(regexp_replace(regexp_replace(regexp_replace(text,
+                       '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+                       '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g'),
+                       '\\d{3}[- ]\\d{3}[- ]\\d{4}', '<PHONE>', 'g')) AS scrubbed_md5
+            FROM planted
+        """,
+        "text_tfidf_topk": """
+            WITH toks AS (
+              SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z]+')) AS term
+              FROM documents
+            ), tok2 AS (
+              SELECT doc_id, term FROM toks WHERE length(term) >= 2
+            ), tf AS (
+              SELECT doc_id, term, COUNT(*) AS tf FROM tok2 GROUP BY 1, 2
+            ), dfreq AS (
+              SELECT term, COUNT(*) AS df FROM tf GROUP BY 1
+            ), n AS (
+              SELECT COUNT(*) AS n FROM documents
+            ), scored AS (
+              SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+                     (tf.tf * (n.n + 1) * 1000000) // (dfreq.df + 1) AS score_micro
+              FROM tf JOIN dfreq USING (term) CROSS JOIN n
+            ), ranked AS (
+              SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score_micro DESC, term ASC) AS rnk
+              FROM scored
+            )
+            SELECT doc_id, term, tf, df, score_micro, rnk FROM ranked WHERE rnk <= 3
         """,
         "emb_topk": """
             SELECT vec_id,

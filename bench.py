@@ -214,7 +214,8 @@ SCALE_N = (4, 16)
 SCALE_CORPUS_MULT = 64  # 64 x 5k = 320k docs at sf0.1
 
 
-def scaling_mode(sf_dir: str, cluster: bool = False, n_rounds: int = 3) -> None:
+def scaling_mode(sf_dir: str, cluster: bool = False, n_rounds: int = 3,
+                 scale_n: tuple[int, int] | None = None) -> None:
     """Run the pipeline at N vs 4N parallelism; write BENCH/BASELINE.md.
 
     ``cluster=False``: local[4] vs local[16] threads (one JVM per level).
@@ -225,6 +226,12 @@ def scaling_mode(sf_dir: str, cluster: bool = False, n_rounds: int = 3) -> None:
     absent; the cross-process scheduling overhead that invalidated this
     mode at 5-80k docs amortizes into the 100+s walls at 320k. Appends
     its table to BENCH/BASELINE.md instead of rewriting it.
+
+    ``scale_n`` overrides the (N, 4N) pair — e.g. (2, 8) keeps BOTH
+    levels below this host's ~65 GB/s memory-bandwidth knee (16 streams
+    want 114 GB/s; 8 want ~57), measuring the regime a real N→4N
+    scale-out lives in, where added executors arrive on added nodes
+    with their own memory controllers.
     """
     # 64x the per-round bench corpus: the north rule grades THROUGHPUT
     # scaling on a 10^12-doc corpus, where per-doc extraction dominates
@@ -233,7 +240,7 @@ def scaling_mode(sf_dir: str, cluster: bool = False, n_rounds: int = 3) -> None:
     # 0.55 @ 160k — the tail still biased the ratio — hence 320k.
     sf = float(sf_dir.rstrip("/").split("sf")[-1])
     n_docs = SCALE_CORPUS_MULT * max(500, int(50_000 * sf))
-    lo, hi = SCALE_N
+    lo, hi = scale_n or SCALE_N
     _master = (lambda n: f"local-cluster[{n},1,4096]") if cluster \
         else (lambda n: f"local[{n}]")
 
@@ -398,14 +405,18 @@ def main() -> None:
     ap.add_argument("--scaling-cluster", action="store_true",
                     help="N vs 4N single-core executor JVMs (local-cluster)")
     ap.add_argument("--scaling-rounds", type=int, default=3)
+    ap.add_argument("--scale-n", default=None,
+                    help="override the N,4N pair, e.g. '2,8' (below the "
+                         "host memory-bandwidth knee at both levels)")
     ap.add_argument("--pipeline-only", action="store_true")
     ap.add_argument("--n-docs", type=int, default=None)
     ap.add_argument("--corpus-parquet", default=None)
     ap.add_argument("--runs", type=int, default=4)
     args = ap.parse_args()
     if args.scaling or args.scaling_cluster:
+        pair = tuple(int(x) for x in args.scale_n.split(",")) if args.scale_n else None
         scaling_mode(args.sf_dir, cluster=args.scaling_cluster,
-                     n_rounds=args.scaling_rounds)
+                     n_rounds=args.scaling_rounds, scale_n=pair)
     else:
         print(json.dumps(run_suite(args.master, args.sf_dir, args.pipeline_only,
                                    args.n_docs, args.corpus_parquet, args.runs)))

@@ -93,6 +93,90 @@ def fingerprint(col: Column) -> Column:
     return F.md5(norm)
 
 
+# --- PII detection / scrubbing -------------------------------------------
+#
+# Training corpora are scrubbed before tokenization; the patterns below
+# are deliberately the common Java-regex ∩ RE2 subset so the DuckDB
+# oracle replays them byte-for-byte (no lookarounds, no backreferences).
+# Order matters for redaction: email first (its local part may contain
+# digits a later pass must not see), then IPv4, then phone.
+PII_PATTERNS = (
+    ("email", r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\d{3}[- ]\d{3}[- ]\d{4}", "<PHONE>"),
+)
+
+
+def pii_counts(col: Column) -> dict[str, Column]:
+    """Per-kind PII occurrence counts (narrow, codegen'd)."""
+    return {kind: F.regexp_count(col, F.lit(pat)) for kind, pat, _ in PII_PATTERNS}
+
+
+def scrub_pii(col: Column) -> Column:
+    """Redact every PII match in PII_PATTERNS order."""
+    out = col
+    for _, pat, repl in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
+def pii_report(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-doc PII audit: counts per kind + md5 of the scrubbed text
+    (the fingerprint proves the replacement bytes, not just the counts,
+    so a cross-engine oracle checks the scrub itself). Narrow map-side
+    transform — at 100 TB this rides the scan stage, zero shuffle."""
+    c = F.col(text_col)
+    counts = pii_counts(c)
+    return df.select(
+        "doc_id",
+        counts["email"].alias("n_emails"),
+        counts["phone"].alias("n_phones"),
+        counts["ipv4"].alias("n_ipv4"),
+        F.md5(scrub_pii(c)).alias("scrubbed_md5"),
+    )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    min_len: int = 2,
+    n_docs: int | None = None,
+) -> DataFrame:
+    """Top-k TF-IDF terms per document, cross-engine-exact.
+
+    The score is computed in INTEGER arithmetic —
+    ``score_micro = (tf * (N+1) * 1e6) div (df+1)`` — a linear-idf
+    variant whose ranking is bit-identical in any engine (no ln(), no
+    float rounding mode to disagree on). Two shuffles (doc-term tf,
+    term df) + a per-doc window; the df side is vocabulary-sized so
+    its exchange is tiny next to the tokenized corpus. Pass ``n_docs``
+    when the caller already knows the corpus size (same contract as
+    the LSH auto-sizing paths) — the count() fallback is one
+    metadata-cheap job for ad-hoc use.
+    """
+    from pyspark.sql import Window
+
+    if n_docs is None:
+        n_docs = df.count()
+    toks = df.select(
+        id_col, F.explode(F.split(F.lower(F.col(text_col)), "[^a-z]+")).alias("term")
+    ).where(F.length("term") >= min_len)
+    tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    scored = tf.join(dfreq, "term").withColumn(
+        "score_micro",
+        F.expr(f"(tf * {n_docs + 1}L * 1000000L) div (df + 1)"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("score_micro").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select(id_col, "term", "tf", "df", "score_micro", "rnk")
+    )
+
+
 def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
     """All stats in one narrow projection."""
     c = F.col(text_col)

@@ -186,6 +186,55 @@ def test_textstats(spark):
     assert fp2 == prof[1]["fingerprint"]
 
 
+def test_pii_scrub(spark):
+    df = spark.createDataFrame(
+        [(1, "mail alice.smith+x@sub.example.org and bob@ex.io now"),
+         (2, "call 555-010-1234 or 555 010 9999 from 10.0.0.1"),
+         (3, "clean text with no secrets at all"),
+         (4, "version 1.2.3 is not an ip, nor is 1.2.3.4.5 a clean one")],
+        "doc_id int, text string",
+    )
+    rows = {r["doc_id"]: r for r in TS.pii_report(df).collect()}
+    assert (rows[1]["n_emails"], rows[1]["n_phones"], rows[1]["n_ipv4"]) == (2, 0, 0)
+    assert (rows[2]["n_emails"], rows[2]["n_phones"], rows[2]["n_ipv4"]) == (0, 2, 1)
+    assert (rows[3]["n_emails"], rows[3]["n_phones"], rows[3]["n_ipv4"]) == (0, 0, 0)
+    # "1.2.3" must not match; "1.2.3.4.5" greedily matches its dotted-quad
+    # prefix (documented \b-delimited behavior, same in RE2 and Java)
+    assert rows[4]["n_ipv4"] == 1
+    # the scrub replaces bytes, not just counts: redacted text differs,
+    # clean text's md5 is the identity
+    import hashlib
+    assert rows[3]["scrubbed_md5"] == hashlib.md5(
+        b"clean text with no secrets at all").hexdigest()
+    scrubbed = df.select("doc_id", TS.scrub_pii(F.col("text")).alias("t")).collect()
+    t1 = {r["doc_id"]: r["t"] for r in scrubbed}
+    assert t1[1] == "mail <EMAIL> and <EMAIL> now"
+    assert t1[2] == "call <PHONE> or <PHONE> from <IP>"
+
+
+def test_tfidf_top_terms(spark):
+    df = spark.createDataFrame(
+        [(1, "apple apple banana common"),
+         (2, "banana cherry common"),
+         (3, "cherry cherry cherry common")],
+        "doc_id int, text string",
+    )
+    out = TS.tfidf_top_terms(df, k=2, n_docs=3)
+    rows = {(r["doc_id"], r["rnk"]): r for r in out.collect()}
+    # doc 1: apple tf=2 df=1 → 2*4*1e6 div 2 = 4e6; banana tf=1 df=2 →
+    # 4e6 div 3 = 1333333; common tf=1 df=3 → 1e6. Top-2 = apple, banana.
+    assert rows[(1, 1)]["term"] == "apple" and rows[(1, 1)]["score_micro"] == 4_000_000
+    assert rows[(1, 2)]["term"] == "banana" and rows[(1, 2)]["score_micro"] == 1_333_333
+    # doc 3: cherry tf=3 df=2 → 3*4*1e6 div 3 = 4e6 beats common
+    assert rows[(3, 1)]["term"] == "cherry" and rows[(3, 1)]["score_micro"] == 4_000_000
+    # deterministic ordering: doc 2 banana vs cherry tie on tf=1,df=2 →
+    # same score, term asc breaks the tie
+    assert rows[(2, 1)]["term"] == "banana" and rows[(2, 2)]["term"] == "cherry"
+    # n_docs threading: explicit n_docs must equal the count() fallback
+    out2 = TS.tfidf_top_terms(df, k=2)
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, out2.collect()))
+
+
 def test_multimodal_plumbing(docs_df):
     media = MM.media_refs_from_spans(docs_df)
     n_media = media.count()
