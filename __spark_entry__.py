@@ -692,6 +692,26 @@ def _q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _docs(spark, sf_dir).select("doc_id", lang_id(F.col("text")).alias("lang_pred"))
 
 
+# incremental-CC fixture: base components get merged by the delta
+# (c–m bridges two base components), extended (q–r adds a node), and
+# joined by brand-new nodes (w1–w2 isolated pair)
+_INC_CC_BASE = [("a", "b"), ("b", "c"), ("m", "n"), ("p", "q"), ("x", "y")]
+_INC_CC_DELTA = [("c", "m"), ("q", "r"), ("w1", "w2")]
+
+
+def _q_kg_components_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-fold canonicalization: CC of the base alias edges, then
+    incremental_components folds the delta WITHOUT re-reading the base
+    edges. The oracle recomputes plain CC over base ∪ delta — passing
+    proves the incremental path is equivalent to the full recompute in
+    a second engine."""
+    from ontology_learning_spark.operators import canonicalize as CC
+
+    base = spark.createDataFrame(_INC_CC_BASE, "src string, dst string")
+    delta = spark.createDataFrame(_INC_CC_DELTA, "src string, dst string")
+    return CC.incremental_components(CC.connected_components(base), delta).orderBy("node")
+
+
 def _plant_pii(docs: DataFrame) -> DataFrame:
     """Deterministically append PII to a doc_id-keyed subset of the
     corpus (the synthetic text is PII-free word soup, so the scrub
@@ -1370,6 +1390,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the redacted bytes) and integer-exact TF-IDF top-k per doc
         "text_pii_scrub": _q_text_pii_scrub,
         "text_tfidf_topk": _q_text_tfidf_topk,
+        # round-5 delta-fold canonicalization (incremental CC ≡ full
+        # recompute, proven cross-engine)
+        "kg_components_incremental": _q_kg_components_incremental,
     }
 
 
@@ -1442,6 +1465,20 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CASE WHEN c.name IS NOT NULL THEN 1.0 ELSE 0.9 END AS DOUBLE) AS confidence
             FROM valid v LEFT JOIN (VALUES {cat}) c(name, category) ON v.concept = c.name
             ORDER BY concept
+        """,
+        "kg_components_incremental": f"""
+            WITH RECURSIVE e(src, dst) AS (
+              SELECT src, dst FROM (VALUES {", ".join(f"('{a}', '{b}')" for a, b in _INC_CC_BASE + _INC_CC_DELTA)}) t(src, dst)
+            ), und AS (
+              SELECT src, dst FROM e UNION SELECT dst, src FROM e
+            ), nodes AS (
+              SELECT DISTINCT src AS node FROM und
+            ), reach(node, peer) AS (
+              SELECT node, node FROM nodes
+              UNION
+              SELECT r.node, u.dst FROM reach r JOIN und u ON r.peer = u.src
+            )
+            SELECT node AS node, MIN(peer) AS component FROM reach GROUP BY node ORDER BY node
         """,
         "kg_components": f"""
             WITH RECURSIVE e(src, dst) AS (

@@ -83,6 +83,42 @@ def test_bucketed_join_no_shuffle(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS bt_right")
 
 
+def test_incremental_components_equals_full_recompute(spark):
+    """incremental_components(CC(base), delta) must be row-identical to
+    CC(base ∪ delta) — merges across existing components, brand-new
+    nodes, no-op intra-component edges, empty deltas, and the
+    distributed contracted-graph fallback all included."""
+    import random
+
+    from ontology_learning_spark.operators import canonicalize as CC
+
+    rng = random.Random(51)
+    nodes = [f"n{i:03d}" for i in range(60)]
+    all_edges = list({(a, b) for a, b in
+                      ((rng.choice(nodes), rng.choice(nodes)) for _ in range(80))
+                      if a != b})
+    base, delta = all_edges[:50], all_edges[50:]
+    # brand-new nodes, a chain tying them into an existing component,
+    # and a duplicate no-op edge
+    delta = delta + [("z_new1", "z_new2"), ("z_new2", nodes[0]), base[0]]
+
+    bdf = spark.createDataFrame(base, "src string, dst string")
+    ddf = spark.createDataFrame(delta, "src string, dst string")
+    full = {tuple(r) for r in CC.connected_components(
+        spark.createDataFrame(base + delta, "src string, dst string")).collect()}
+    base_cc = CC.connected_components(bdf)
+    inc = {tuple(r) for r in CC.incremental_components(base_cc, ddf).collect()}
+    assert inc == full
+    # empty delta is the identity
+    empty = spark.createDataFrame([], "src string, dst string")
+    assert {tuple(r) for r in CC.incremental_components(base_cc, empty).collect()} \
+        == {tuple(r) for r in base_cc.collect()}
+    # force the distributed contracted-CC path
+    inc2 = {tuple(r) for r in CC.incremental_components(
+        base_cc, ddf, small_threshold=0).collect()}
+    assert inc2 == full
+
+
 def test_bucketed_cc_equivalence_and_edge_side_no_exchange(spark):
     """connected_components_bucketed must (a) return the same
     components as the checkpoint-based loop and (b) actually deliver
