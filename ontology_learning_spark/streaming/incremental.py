@@ -168,6 +168,40 @@ def run_incremental_triples(
     q.awaitTermination(timeout_sec)
 
 
+def fold_canonical_mapping(spark: SparkSession, alias_root: str):
+    """Fold committed alias-edge batches into a live (node, component)
+    canonical mapping: plain CC of the first batch, then
+    ``canonicalize.incremental_components`` per subsequent batch — each
+    fold step touches only the delta's contracted component graph plus
+    one broadcast-remap pass over the current mapping, and NEVER
+    re-reads earlier batches (the whole point at 10^9 accumulated alias
+    edges). Result is row-identical to one CC over the concatenated
+    edges (streaming≡batch parity pytest).
+
+    Batch directories follow the same ``batch_id=N`` layout the other
+    incremental sinks write; at real scale each step reads one Iceberg
+    snapshot delta instead.
+    """
+    from ..functions.persistence import materialize
+    from ..operators.canonicalize import connected_components, incremental_components
+
+    aroot = Path(alias_root)
+    batch_ids = sorted(
+        int(p.name.split("=")[1]) for p in aroot.glob("batch_id=*") if p.is_dir()
+    )
+    mapping = None
+    for b in batch_ids:
+        edges_b = spark.read.parquet(str(aroot / f"batch_id={b}"))
+        if mapping is None:
+            mapping = connected_components(edges_b)
+        else:
+            mapping = incremental_components(mapping, edges_b)
+        mapping = materialize(mapping)
+    if mapping is None:
+        return spark.createDataFrame([], "node string, component string")
+    return mapping
+
+
 def fold_graph(spark: SparkSession, graph_root: str, hierarchy: list[tuple[str, str]]):
     """Fold every committed triple batch into the baseline graph with
     the SAME merge operator batch mode uses (tables.merge_graph), in

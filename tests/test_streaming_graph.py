@@ -62,3 +62,37 @@ def test_streaming_fold_equals_batch_merge(spark, tmp_path, fixture_docs):
     s_nodes2, s_edges2 = fold_graph(spark, groot, hierarchy)
     assert _node_set(s_nodes2) == _node_set(s_nodes)
     assert _edge_set(s_edges2) == _edge_set(s_edges)
+
+
+def test_fold_canonical_mapping_parity(spark, tmp_path):
+    """Folding alias-edge batches through incremental_components must
+    equal one CC over the concatenated edges — including brand-new
+    nodes arriving in a later batch — and an empty root folds to an
+    empty mapping."""
+    import random
+
+    from ontology_learning_spark.operators import canonicalize as CC
+    from ontology_learning_spark.streaming.incremental import fold_canonical_mapping
+
+    rng = random.Random(77)
+    nodes = [f"c{i:03d}" for i in range(40)]
+    batches = []
+    for _ in range(3):
+        edges = [(a, b) for a, b in
+                 {(rng.choice(nodes), rng.choice(nodes)) for _ in range(25)}
+                 if a != b]
+        batches.append(edges)
+    batches[2] = batches[2] + [("zz1", "zz2")]
+
+    root = tmp_path / "aliases"
+    for b, edges in enumerate(batches):
+        spark.createDataFrame(edges, "src string, dst string") \
+            .write.parquet(str(root / f"batch_id={b}"))
+
+    folded = {tuple(r) for r in fold_canonical_mapping(spark, str(root)).collect()}
+    all_edges = [e for es in batches for e in es]
+    full = {tuple(r) for r in CC.connected_components(
+        spark.createDataFrame(all_edges, "src string, dst string")).collect()}
+    assert folded == full
+
+    assert fold_canonical_mapping(spark, str(tmp_path / "nothing")).count() == 0
