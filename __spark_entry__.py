@@ -748,6 +748,12 @@ def _q_text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf_top_terms(_docs(spark, sf_dir), k=3)
 
 
+def _q_text_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ontology_learning_spark.operators.textstats import hash_split
+
+    return hash_split(_docs(spark, sf_dir)).select("doc_id", "split")
+
+
 def _q_emb_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ontology_learning_spark.operators.simsearch import brute_force_topk
 
@@ -1390,6 +1396,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the redacted bytes) and integer-exact TF-IDF top-k per doc
         "text_pii_scrub": _q_text_pii_scrub,
         "text_tfidf_topk": _q_text_tfidf_topk,
+        # round-5 deterministic engine-independent dataset splits (the
+        # oracle recomputes the md5-bucket assignment per doc)
+        "text_hash_split": _q_text_hash_split,
         # round-5 delta-fold canonicalization (incremental CC ≡ full
         # recompute, proven cross-engine)
         "kg_components_incremental": _q_kg_components_incremental,
@@ -1882,6 +1891,17 @@ def oracle_sql() -> dict[str, str]:
                        '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g'),
                        '\\d{3}[- ]\\d{3}[- ]\\d{4}', '<PHONE>', 'g')) AS scrubbed_md5
             FROM planted
+        """,
+        "text_hash_split": """
+            SELECT doc_id,
+                   CASE WHEN bucket < 800000 THEN 'train'
+                        WHEN bucket < 900000 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM (
+              SELECT doc_id,
+                     try_cast(('0x' || substr(md5('split-v1|' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000000 AS bucket
+              FROM documents
+            )
         """,
         "text_tfidf_topk": """
             WITH toks AS (

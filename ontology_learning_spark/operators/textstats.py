@@ -177,6 +177,44 @@ def tfidf_top_terms(
     )
 
 
+def hash_split(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    weights: tuple[float, ...] = (0.8, 0.1, 0.1),
+    names: tuple[str, ...] = ("train", "val", "test"),
+    salt: str = "split-v1",
+) -> DataFrame:
+    """Deterministic train/val/test assignment: bucket = first 8 hex
+    chars of md5(salt|key) mod 1e6, cut by cumulative weights.
+
+    Properties a training pipeline needs that ``df.randomSplit`` lacks:
+    (1) engine-independent — the same key lands in the same split in
+    Spark, DuckDB, or a bash one-liner (md5 is md5 everywhere), so
+    decontamination joins across systems agree; (2) stable under
+    re-partitioning, retries, and corpus growth — assignment is a pure
+    function of (salt, key), never of row order or partition layout;
+    (3) salt-versioned — bump the salt to re-draw every split at once.
+    Pure Catalyst (md5 + conv + when chain): narrow, zero shuffle.
+    """
+    assert len(weights) == len(names) and len(names) >= 2
+    total = float(sum(weights))
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("|", F.lit(salt), F.col(key_col).cast("string"))), 1, 8
+            ),
+            16, 10,
+        ).cast("bigint") % 1_000_000
+    )
+    col = None
+    cum = 0.0
+    for w, n in zip(weights[:-1], names[:-1]):
+        cum += w / total
+        cond = bucket < int(round(cum * 1_000_000))
+        col = F.when(cond, F.lit(n)) if col is None else col.when(cond, F.lit(n))
+    return df.withColumn("split", col.otherwise(F.lit(names[-1])))
+
+
 def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
     """All stats in one narrow projection."""
     c = F.col(text_col)

@@ -235,6 +235,27 @@ def test_tfidf_top_terms(spark):
     assert sorted(map(tuple, out.collect())) == sorted(map(tuple, out2.collect()))
 
 
+def test_hash_split(spark):
+    df = spark.range(2000).select(F.col("id").alias("doc_id"))
+    out = TS.hash_split(df).cache()
+    counts = {r["split"]: r["n"] for r in
+              out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    # exhaustive + disjoint by construction (one split column per row)
+    assert sum(counts.values()) == 2000
+    # proportions near the 80/10/10 weights (md5 buckets are uniform;
+    # ±4 pp at n=2000 is far beyond the binomial noise floor)
+    assert abs(counts["train"] / 2000 - 0.8) < 0.04
+    assert abs(counts["val"] / 2000 - 0.1) < 0.04
+    assert abs(counts["test"] / 2000 - 0.1) < 0.04
+    # pure function of (salt, key): re-run identical, new salt re-draws
+    again = {(r["doc_id"], r["split"]) for r in TS.hash_split(df).collect()}
+    assert again == {(r["doc_id"], r["split"]) for r in out.collect()}
+    redrawn = {(r["doc_id"], r["split"])
+               for r in TS.hash_split(df, salt="split-v2").collect()}
+    assert redrawn != again
+    out.unpersist()
+
+
 def test_multimodal_plumbing(docs_df):
     media = MM.media_refs_from_spans(docs_df)
     n_media = media.count()
