@@ -151,19 +151,29 @@ def tfidf_top_terms(
     variant whose ranking is bit-identical in any engine (no ln(), no
     float rounding mode to disagree on). Two shuffles (doc-term tf,
     term df) + a per-doc window; the df side is vocabulary-sized so
-    its exchange is tiny next to the tokenized corpus. Pass ``n_docs``
-    when the caller already knows the corpus size (same contract as
-    the LSH auto-sizing paths) — the count() fallback is one
-    metadata-cheap job for ad-hoc use.
+    its exchange is tiny next to the tokenized corpus — and it
+    broadcasts back onto tf, so no hot-term skew ever hits a window
+    partition. The tf frame is PINNED (``materialize``) because both
+    the df aggregation and the scoring join consume it: without the
+    pin Spark re-tokenizes the corpus for each consumer (measured —
+    AQE's exchange reuse does not fire across the join's two
+    subtrees), and tokenization is the only corpus-sized pass here.
+    Pass ``n_docs`` when the caller already knows the corpus size
+    (same contract as the LSH auto-sizing paths) — the count()
+    fallback is one metadata-cheap job for ad-hoc use.
     """
     from pyspark.sql import Window
+
+    from ..functions.persistence import materialize
 
     if n_docs is None:
         n_docs = df.count()
     toks = df.select(
         id_col, F.explode(F.split(F.lower(F.col(text_col)), "[^a-z]+")).alias("term")
     ).where(F.length("term") >= min_len)
-    tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    tf = materialize(
+        toks.groupBy(id_col, "term").agg(F.count("*").alias("tf")), corpus_scale=True
+    )
     dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
     scored = tf.join(dfreq, "term").withColumn(
         "score_micro",

@@ -181,3 +181,35 @@ def test_parquet_checkpoint_equivalence_pruning_and_empty(spark, monkeypatch):
     blocks = materialize(df, corpus_scale=True)
     assert "Scan ExistingRDD" in _plan(blocks) or "LocalTableScan" in _plan(blocks) \
         or "Scan parquet" not in _plan(blocks)
+
+
+def test_round5_text_ops_plan_shapes(spark):
+    """PII scrub and hash_split must stay narrow map-side transforms
+    (zero Exchange, zero Python eval); tfidf_top_terms owns exactly its
+    stated shuffles (doc-term tf, term df, join back, per-doc window —
+    no extras) with the scoring kept in JVM expressions."""
+    from ontology_learning_spark.operators import textstats as TS
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+    pii = TS.pii_report(docs)
+    plan = _plan(pii)
+    assert "Exchange" not in plan, plan
+    assert "Python" not in plan, plan
+
+    split = TS.hash_split(docs).select("doc_id", "split")
+    plan = _plan(split)
+    assert "Exchange" not in plan, plan
+    assert "Python" not in plan, plan
+
+    tfidf = TS.tfidf_top_terms(docs, k=3, n_docs=500)
+    plan = _plan(tfidf)
+    assert "Python" not in plan, plan
+    # the tokenize+tf pass ran ONCE inside the pin (no Generate left
+    # downstream — without the pin both the df agg and the scoring
+    # join re-explode the corpus); remaining exchanges: vocab-sized df
+    # agg + per-doc window, with df BROADCAST back onto tf (hot terms
+    # never hit a window partition)
+    assert "Generate" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
+    assert "BroadcastExchange" in plan or "broadcast" in plan.lower(), plan
