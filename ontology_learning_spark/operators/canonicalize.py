@@ -227,9 +227,11 @@ def incremental_components(
         return components.unionByName(new_rows)
     import pandas as pd
 
+    # label dtype follows the mapping's (ids may be bigint, not string)
+    ctype = components.schema["component"].dataType.simpleString()
     remap_df = spark.createDataFrame(
         pd.DataFrame(sorted(remap), columns=["component", "_new"]),
-        schema="component string, _new string",
+        schema=f"component {ctype}, _new {ctype}",
     )
     return (
         components.unionByName(new_rows)

@@ -15,6 +15,8 @@ Scale notes:
 
 from __future__ import annotations
 
+from typing import NamedTuple
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -197,6 +199,35 @@ def minhash_lsh_candidates(
     ``num_hashes``/``bands`` default to ``minhash_plan(threshold)``;
     with exactly one given, the other is derived coherently from it
     (``_resolve_minhash_geometry``)."""
+    banded = minhash_band_table(df, text_col, id_col, num_hashes, bands,
+                                shingle_n, threshold)
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bh") == F.col("b.bh"))
+               & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def minhash_band_table(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int | None = None,
+    bands: int | None = None,
+    shingle_n: int = 3,
+    threshold: float = 0.9,
+) -> DataFrame:
+    """The (id, band, bh) band-key table for a corpus slice — the
+    persistable LSH state an INCREMENTAL dedup maintains: a delta's
+    keys join against the stored table instead of re-signing history.
+    Geometry is threshold-driven (``minhash_plan``) and therefore
+    corpus-size-INDEPENDENT, which is what makes the table stable
+    across deltas (the same threshold always produces the same keys).
+    At scale, store it bucketed by (band, bh) so the candidate join is
+    exchange-free on the history side."""
     num_hashes, bands = _resolve_minhash_geometry(threshold, num_hashes, bands)
     rows = num_hashes // bands
     params = _hash_params(num_hashes)
@@ -212,7 +243,7 @@ def minhash_lsh_candidates(
         *[F.min((F.col("h") * a + b) % _MERSENNE_P).alias(f"m{i}")
           for i, (a, b) in enumerate(params)]
     )
-    banded = sig.select(
+    return sig.select(
         "id",
         F.explode(
             F.array(*[
@@ -224,14 +255,6 @@ def minhash_lsh_candidates(
             ])
         ).alias("bb"),
     ).select("id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
-    a = banded.alias("a")
-    b = banded.alias("b")
-    return (
-        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bh") == F.col("b.bh"))
-               & (F.col("a.id") < F.col("b.id")))
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .distinct()
-    )
 
 
 def jaccard_verify(
@@ -526,4 +549,108 @@ def simhash_near_dups(df: DataFrame, text_col: str = "text", id_col: str = "doc_
     hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
     return cand.withColumn("hamming", hamming).where(F.col("hamming") <= max_hamming).select(
         "id_a", "id_b", "hamming"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Incremental near-dup dedup: persistable (bands, mapping) state
+# ---------------------------------------------------------------------------
+
+
+class DedupState(NamedTuple):
+    """The two tables an incremental dedup maintains between deltas:
+    ``bands`` — (id, band, bh) LSH keys of every doc ingested so far
+    (at scale: a bucketed-by-(band, bh) table, appended per delta);
+    ``mapping`` — (node, component) over every doc that appears in a
+    verified near-dup pair (node-sized, tiny next to the corpus)."""
+
+    bands: DataFrame
+    mapping: DataFrame
+
+
+def _pairs_to_edges(pairs: DataFrame) -> DataFrame:
+    return pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+
+
+def dedup_state_init(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    shingle_n: int = 3,
+    num_hashes: int | None = None,
+    bands: int | None = None,
+) -> DedupState:
+    """First full pass: band table + verified pairs + CC mapping."""
+    from ..functions.persistence import materialize
+    from .canonicalize import connected_components
+
+    b = materialize(minhash_band_table(df, text_col, id_col, num_hashes,
+                                       bands, shingle_n, threshold))
+    a_, b_ = b.alias("a"), b.alias("b")
+    cands = (
+        a_.join(b_, (F.col("a.band") == F.col("b.band")) & (F.col("a.bh") == F.col("b.bh"))
+                & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    pairs = jaccard_verify(cands, df, text_col, id_col, threshold, shingle_n)
+    mapping = materialize(connected_components(_pairs_to_edges(pairs)))
+    return DedupState(b, mapping)
+
+
+def dedup_state_update(
+    state: DedupState,
+    new_docs: DataFrame,
+    all_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    shingle_n: int = 3,
+    num_hashes: int | None = None,
+    bands: int | None = None,
+) -> DedupState:
+    """Fold a document delta into the dedup state WITHOUT re-signing or
+    re-pairing history: the delta's band keys join against the stored
+    band table (new×hist ∪ new×new candidates only — hist×hist pairs
+    are already folded into the mapping by induction), verified pairs
+    go through ``incremental_components``, and the band table grows by
+    the delta's keys. ``all_docs`` is the id→text lookup for the
+    verify step (hist ∪ delta); only candidate ids are fetched from it
+    (semi-join inside ``jaccard_verify``).
+
+    Invariant (pytest-pinned): after any split of a corpus into
+    init + updates, ``state.mapping`` equals the mapping a full
+    one-shot run produces over the whole corpus — use the SAME
+    threshold/geometry across deltas (the threshold-driven plan is
+    corpus-size-independent, so this is the default behavior).
+    """
+    from ..functions.persistence import materialize
+    from .canonicalize import incremental_components
+
+    nb = materialize(minhash_band_table(new_docs, text_col, id_col, num_hashes,
+                                        bands, shingle_n, threshold))
+    all_bands = state.bands.unionByName(nb)
+    a_, b_ = nb.alias("a"), all_bands.alias("b")
+    cands = (
+        a_.join(b_, (F.col("a.band") == F.col("b.band")) & (F.col("a.bh") == F.col("b.bh"))
+                & (F.col("a.id") != F.col("b.id")))
+        .select(
+            F.least(F.col("a.id"), F.col("b.id")).alias("id_a"),
+            F.greatest(F.col("a.id"), F.col("b.id")).alias("id_b"),
+        )
+        .distinct()
+    )
+    pairs = jaccard_verify(cands, all_docs, text_col, id_col, threshold, shingle_n)
+    mapping = materialize(incremental_components(state.mapping, _pairs_to_edges(pairs)))
+    return DedupState(materialize(all_bands), mapping)
+
+
+def dedup_state_clusters(state: DedupState) -> DataFrame:
+    """(canonical_id, cluster_size) for clusters of size ≥ 2, from the
+    live mapping (canonical = min member id, the mapping's label)."""
+    return (
+        state.mapping.groupBy(F.col("component").alias("canonical_id"))
+        .agg(F.count("*").alias("cluster_size"))
+        .where(F.col("cluster_size") >= 2)
     )

@@ -322,3 +322,51 @@ def test_decode_media_header_real_formats():
     assert MM.decode_media_header(png[:10]) is None
     assert MM.decode_media_header(b"") is None
     assert MM.decode_media_header(b"\xff\xd8\xff\xd9") is None
+
+
+def test_incremental_dedup_state(spark):
+    """dedup_state_init + dedup_state_update over a base/delta split
+    must produce the same mapping and clusters as the one-shot pipeline
+    over the whole corpus — cross-split dups, intra-delta dups, and
+    no-dup delta docs included."""
+    import random
+
+    from ontology_learning_spark.operators.canonicalize import connected_components
+
+    rng = random.Random(9)
+    words = [f"w{i}" for i in range(50)]
+
+    def mk():
+        return " ".join(rng.choice(words) for _ in range(30))
+
+    rows = [(i, mk()) for i in range(90)]
+    rows[10] = (10, rows[0][1])                      # base cluster {0,10}
+    rows[11] = (11, rows[1][1])                      # base cluster {1,11}
+    tweak = rows[1][1].split(); tweak[0] = "zz"
+    delta = [
+        (90, rows[0][1]),                            # grows {0,10}
+        (91, " ".join(tweak)),                       # near-dup grows {1,11}
+        (92, mk()),
+        (94, mk()),                                  # no dup
+    ]
+    delta.append((93, delta[2][1]))                  # intra-delta cluster {92,93}
+
+    base_df = spark.createDataFrame(rows, "doc_id long, text string")
+    delta_df = spark.createDataFrame(delta, "doc_id long, text string")
+    all_df = base_df.unionByName(delta_df)
+
+    st = DD.dedup_state_init(base_df, threshold=0.5)
+    st = DD.dedup_state_update(st, delta_df, all_df, threshold=0.5)
+
+    full_pairs = DD.ngram_jaccard_pairs(all_df, threshold=0.5)
+    full = connected_components(
+        full_pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    )
+    assert {tuple(r) for r in st.mapping.collect()} == {tuple(r) for r in full.collect()}
+
+    clusters = {r["canonical_id"]: r["cluster_size"]
+                for r in DD.dedup_state_clusters(st).collect()}
+    assert clusters == {0: 3, 1: 3, 92: 2}
+    # the band table covers every ingested doc exactly once per band
+    per_doc = st.bands.groupBy("id").count().select("count").distinct().collect()
+    assert len(per_doc) == 1
