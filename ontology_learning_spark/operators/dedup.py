@@ -643,7 +643,11 @@ def dedup_state_update(
     )
     pairs = jaccard_verify(cands, all_docs, text_col, id_col, threshold, shingle_n)
     mapping = materialize(incremental_components(state.mapping, _pairs_to_edges(pairs)))
-    return DedupState(materialize(all_bands), mapping)
+    # bands stays a LAZY union of already-pinned parts — re-materializing
+    # it would rewrite the whole history every fold (measured: the
+    # re-checkpoint dominated the delta wall at 320k docs). At scale
+    # this is an APPEND of the delta's partition to the bucketed table.
+    return DedupState(all_bands, mapping)
 
 
 def dedup_state_clusters(state: DedupState) -> DataFrame:
