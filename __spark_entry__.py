@@ -754,6 +754,19 @@ def _q_text_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hash_split(_docs(spark, sf_dir)).select("doc_id", "split")
 
 
+def _q_text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination report with the eval set drawn from the corpus
+    itself (doc_id % 91 == 0) — every eval doc must flag itself plus
+    any doc sharing a verbatim 8-gram. Oracle recomputes the n-gram
+    overlap join on gram STRINGS (the operator joins on xxhash64 of
+    the gram; results differ only on a 2^-64 collision)."""
+    from ontology_learning_spark.operators.dedup import contamination_report
+
+    docs = _docs(spark, sf_dir)
+    ev = docs.where(F.col("doc_id") % 91 == 0)
+    return contamination_report(docs, ev, n=8)
+
+
 def _q_emb_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ontology_learning_spark.operators.simsearch import brute_force_topk
 
@@ -1399,6 +1412,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-5 deterministic engine-independent dataset splits (the
         # oracle recomputes the md5-bucket assignment per doc)
         "text_hash_split": _q_text_hash_split,
+        # round-5 decontamination (eval-set n-gram overlap vs training
+        # corpus; oracle joins on gram strings)
+        "text_decontaminate": _q_text_decontaminate,
         # round-5 delta-fold canonicalization (incremental CC ≡ full
         # recompute, proven cross-engine)
         "kg_components_incremental": _q_kg_components_incremental,
@@ -1902,6 +1918,21 @@ def oracle_sql() -> dict[str, str]:
                      try_cast(('0x' || substr(md5('split-v1|' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000000 AS bucket
               FROM documents
             )
+        """,
+        "text_decontaminate": """
+            WITH t AS (
+              SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+              FROM documents
+            ), g AS (
+              SELECT doc_id, unnest(list_distinct(CASE WHEN len(toks) >= 8
+                  THEN [array_to_string(toks[i:i+7], ' ') for i in range(1, len(toks) - 6)]
+                  ELSE []::VARCHAR[] END)) AS g
+              FROM t
+            ), ev AS (
+              SELECT DISTINCT g FROM g WHERE doc_id % 91 = 0
+            )
+            SELECT g.doc_id AS doc_id, COUNT(*) AS n_shared
+            FROM g JOIN ev USING (g) GROUP BY 1
         """,
         "text_tfidf_topk": """
             WITH toks AS (

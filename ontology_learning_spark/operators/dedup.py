@@ -658,3 +658,56 @@ def dedup_state_clusters(state: DedupState) -> DataFrame:
         .agg(F.count("*").alias("cluster_size"))
         .where(F.col("cluster_size") >= 2)
     )
+
+
+# ---------------------------------------------------------------------------
+# Decontamination: eval-set n-gram overlap against a training corpus
+# ---------------------------------------------------------------------------
+
+
+def contamination_report(
+    train: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+) -> DataFrame:
+    """(train doc_id, n_shared) for training docs sharing ≥1 word
+    ``n``-gram with ANY eval document — the standard decontamination
+    test before training on a crawl (eval answers leaking into training
+    data inflate benchmarks).
+
+    Shape at 100 TB: the eval side is benchmark-sized (thousands of
+    docs) — its distinct gram set BROADCASTS, so the corpus side is one
+    narrow explode + broadcast-semi pass, zero corpus shuffle until the
+    per-doc count (which only sees matching grams). Grams travel as
+    xxhash64 (8 bytes vs ~50-char strings); a 2^-64 collision could
+    flag one extra doc — acceptable for a filter whose false-positive
+    cost is dropping one training document.
+    """
+    ev = (
+        eval_df.select(F.explode(word_shingles(F.col(text_col), n)).alias("g"))
+        .select(F.xxhash64("g").alias("gh"))
+        .distinct()
+    )
+    tr = train.select(
+        F.col(id_col), F.explode(word_shingles(F.col(text_col), n)).alias("g")
+    ).select(id_col, F.xxhash64("g").alias("gh"))
+    return (
+        tr.join(F.broadcast(ev), "gh")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_shared"))
+    )
+
+
+def decontaminate(
+    train: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+) -> DataFrame:
+    """The filtered training corpus: drop every doc flagged by
+    ``contamination_report`` (left-anti on the flagged ids)."""
+    bad = contamination_report(train, eval_df, text_col, id_col, n).select(id_col)
+    return train.join(F.broadcast(bad), id_col, "left_anti")

@@ -370,3 +370,26 @@ def test_incremental_dedup_state(spark):
     # the band table covers every ingested doc exactly once per band
     per_doc = st.bands.groupBy("id").count().select("count").distinct().collect()
     assert len(per_doc) == 1
+
+
+def test_decontamination(spark):
+    train = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+         (2, "one two three four five six seven eight nine ten"),
+         (3, "totally unrelated words that appear nowhere else at all ok"),
+         (4, "short doc")],                       # < n tokens: no grams
+        "doc_id int, text string",
+    )
+    # eval doc embeds an 8-gram lifted verbatim from train doc 1
+    eval_df = spark.createDataFrame(
+        [(100, "prompt says alpha beta gamma delta epsilon zeta eta theta answer")],
+        "doc_id int, text string",
+    )
+    rep = {r["doc_id"]: r["n_shared"]
+           for r in DD.contamination_report(train, eval_df, n=8).collect()}
+    assert 1 in rep and rep[1] >= 1
+    assert set(rep) == {1}
+    clean = sorted(r["doc_id"] for r in DD.decontaminate(train, eval_df, n=8).collect())
+    assert clean == [2, 3, 4]
+    # n larger than the leaked span: nothing flagged
+    assert DD.contamination_report(train, eval_df, n=9).count() == 0
