@@ -213,3 +213,23 @@ def test_round5_text_ops_plan_shapes(spark):
     assert "Generate" not in plan, plan
     assert plan.count("Exchange hashpartitioning") <= 2, plan
     assert "BroadcastExchange" in plan or "broadcast" in plan.lower(), plan
+
+
+def test_decontamination_plan_shape(spark):
+    """The eval gram set must BROADCAST (corpus side never shuffles
+    before the match); the only hashpartitioning exchange is the
+    match-only per-doc count."""
+    from ontology_learning_spark.operators import dedup as DD
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    ev = docs.where(F.col("doc_id") % 91 == 0)
+    plan = _plan(DD.contamination_report(docs, ev, n=8))
+    assert "BroadcastHashJoin" in plan, plan
+    # exactly two hash exchanges, both match-or-eval-sized: the eval
+    # grams' distinct (inside the broadcast subtree) and the per-doc
+    # count of matches; the corpus side goes FileScan → Generate →
+    # BroadcastHashJoin with no exchange in between
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
+    corpus_side = plan.split("BroadcastHashJoin")[1].split("BroadcastExchange")[0]
+    assert "Exchange hashpartitioning" not in corpus_side, plan
+    assert "Python" not in plan, plan
