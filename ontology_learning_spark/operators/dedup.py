@@ -675,7 +675,9 @@ def contamination_report(
     """(train doc_id, n_shared) for training docs sharing ≥1 word
     ``n``-gram with ANY eval document — the standard decontamination
     test before training on a crawl (eval answers leaking into training
-    data inflate benchmarks).
+    data inflate benchmarks; verbatim-n-gram overlap is the filter used
+    by the public LM-training dedup literature, e.g. Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better").
 
     Shape at 100 TB: the eval side is benchmark-sized (thousands of
     docs) — its distinct gram set BROADCASTS, so the corpus side is one
