@@ -754,6 +754,14 @@ def _q_text_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hash_split(_docs(spark, sf_dir)).select("doc_id", "split")
 
 
+def _q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ontology_learning_spark.operators.textstats import repetition_ratio
+
+    return _docs(spark, sf_dir).select(
+        "doc_id", F.round(repetition_ratio(F.col("text")), 6).alias("rep")
+    )
+
+
 def _q_text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decontamination report with the eval set drawn from the corpus
     itself (doc_id % 91 == 0) — every eval doc must flag itself plus
@@ -1415,6 +1423,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-5 decontamination (eval-set n-gram overlap vs training
         # corpus; oracle joins on gram strings)
         "text_decontaminate": _q_text_decontaminate,
+        # round-5 Gopher-style intra-doc repetition quality rule
+        "text_repetition": _q_text_repetition,
         # round-5 delta-fold canonicalization (incremental CC ≡ full
         # recompute, proven cross-engine)
         "kg_components_incremental": _q_kg_components_incremental,
@@ -1918,6 +1928,22 @@ def oracle_sql() -> dict[str, str]:
                      try_cast(('0x' || substr(md5('split-v1|' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000000 AS bucket
               FROM documents
             )
+        """,
+        "text_repetition": """
+            WITH t AS (
+              SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+              FROM documents
+            ), g AS (
+              SELECT doc_id, CASE WHEN len(toks) >= 3
+                  THEN [array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks) - 1)]
+                  ELSE []::VARCHAR[] END AS grams
+              FROM t
+            )
+            SELECT doc_id,
+                   ROUND(CASE WHEN len(grams) > 0
+                         THEN 1.0 - len(list_distinct(grams)) / CAST(len(grams) AS DOUBLE)
+                         ELSE 0.0 END, 6) AS rep
+            FROM g
         """,
         "text_decontaminate": """
             WITH t AS (

@@ -86,6 +86,25 @@ def lang_id(col: Column) -> Column:
     )
 
 
+def repetition_ratio(col: Column, n: int = 3) -> Column:
+    """Fraction of duplicate word ``n``-grams within a document — the
+    Gopher-style intra-doc repetition rule (boilerplate, listicles, and
+    SEO spam repeat themselves; prose doesn't). 0.0 = all grams unique,
+    → 1.0 as the doc degenerates into repeats; docs shorter than ``n``
+    tokens score 0.0. Pure Catalyst (the tokenize/slice shape matches
+    ``dedup.word_shingles`` — distinct via array_distinct, total from
+    token count)."""
+    toks = F.split(F.lower(F.trim(col)), r"\s+")
+    total = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    k = total
+    zipped = F.arrays_zip(*[F.slice(toks, j + 1, k) for j in range(n)])
+    grams = F.transform(
+        zipped, lambda s: F.concat_ws(" ", *[s[str(j)] for j in range(n)])
+    )
+    distinct = F.size(F.array_distinct(grams))
+    return F.when(total > 0, 1.0 - distinct / total).otherwise(F.lit(0.0))
+
+
 def fingerprint(col: Column) -> Column:
     """Deterministic document fingerprint: md5 of the whitespace- and
     case-normalized text (md5 hex matches across Spark and DuckDB)."""
@@ -234,6 +253,7 @@ def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
         bpe_ish_token_count(c).alias("n_subtokens"),
         punct_ratio(c).alias("punct_ratio"),
         stopword_ratio(c).alias("stopword_ratio_en"),
+        repetition_ratio(c).alias("repetition_3gram"),
         quality_score(c).alias("quality"),
         lang_id(c).alias("lang_pred"),
         fingerprint(c).alias("fingerprint"),

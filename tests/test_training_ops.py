@@ -393,3 +393,18 @@ def test_decontamination(spark):
     assert clean == [2, 3, 4]
     # n larger than the leaked span: nothing flagged
     assert DD.contamination_report(train, eval_df, n=9).count() == 0
+
+
+def test_repetition_ratio(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c a b c a b c"),        # 7 grams: "a b c","b c a","c a b" repeat → 4 dups
+         (2, "one two three four five"),  # all unique
+         (3, "x y"),                      # shorter than n
+         (4, "spam spam spam spam spam")],
+        "doc_id int, text string",
+    )
+    rep = {r["doc_id"]: round(r["rep"], 6) for r in df.select(
+        "doc_id", TS.repetition_ratio(F.col("text")).alias("rep")).collect()}
+    assert rep[2] == 0.0 and rep[3] == 0.0
+    assert rep[1] == round(1 - 3 / 7, 6)
+    assert rep[4] == round(1 - 1 / 3, 6)  # 3 grams, all "spam spam spam"
