@@ -713,3 +713,22 @@ def decontaminate(
     ``contamination_report`` (left-anti on the flagged ids)."""
     bad = contamination_report(train, eval_df, text_col, id_col, n).select(id_col)
     return train.join(F.broadcast(bad), id_col, "left_anti")
+
+
+def dedup_state_save(state: DedupState, path: str) -> None:
+    """Persist the state durably: bands partitioned by band (the probe
+    side of every future delta join), mapping as one small table. On a
+    real deployment these are Iceberg tables and the band write is an
+    APPEND per delta; here one overwrite keeps the sandbox contract
+    simple and restart-safe (write-then-swap is the production form)."""
+    state.bands.write.mode("overwrite").partitionBy("band").parquet(f"{path}/bands")
+    state.mapping.write.mode("overwrite").parquet(f"{path}/mapping")
+
+
+def dedup_state_load(spark, path: str) -> DedupState:
+    """Reload a saved state; the parquet band table keeps its partition
+    pruning, so a delta fold after restart reads only matching bands."""
+    return DedupState(
+        spark.read.parquet(f"{path}/bands").select("id", "band", "bh"),
+        spark.read.parquet(f"{path}/mapping"),
+    )

@@ -408,3 +408,28 @@ def test_repetition_ratio(spark):
     assert rep[2] == 0.0 and rep[3] == 0.0
     assert rep[1] == round(1 - 3 / 7, 6)
     assert rep[4] == round(1 - 1 / 3, 6)  # 3 grams, all "spam spam spam"
+
+
+def test_dedup_state_save_load_roundtrip(spark, tmp_path):
+    """A restart between init and the delta fold must not change the
+    result: save → load → update ≡ in-session update ≡ one-shot."""
+    from ontology_learning_spark.operators.canonicalize import connected_components
+
+    rows = [(i, f"alpha beta gamma delta epsilon zeta eta theta doc{i} iota kappa")
+            for i in range(20)]
+    rows[5] = (5, rows[0][1])
+    base_df = spark.createDataFrame(rows, "doc_id long, text string")
+    delta = [(20, rows[1][1]), (21, "nothing shared here at all with anything else ok")]
+    delta_df = spark.createDataFrame(delta, "doc_id long, text string")
+    all_df = base_df.unionByName(delta_df)
+
+    st = DD.dedup_state_init(base_df, threshold=0.9)
+    DD.dedup_state_save(st, str(tmp_path / "state"))
+    st2 = DD.dedup_state_load(spark, str(tmp_path / "state"))
+    out = DD.dedup_state_update(st2, delta_df, all_df, threshold=0.9)
+
+    full = connected_components(
+        DD.ngram_jaccard_pairs(all_df, threshold=0.9)
+        .select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    )
+    assert {tuple(r) for r in out.mapping.collect()} == {tuple(r) for r in full.collect()}
