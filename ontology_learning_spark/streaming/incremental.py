@@ -29,6 +29,7 @@ import json
 from pathlib import Path
 
 from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
 
 from ..fixtures.generator import DOCUMENT_SCHEMA
 from ..operators import extraction as E
@@ -232,3 +233,83 @@ def fold_graph(spark: SparkSession, graph_root: str, hierarchy: list[tuple[str, 
         nodes, edges = merge_graph(nodes, edges, empty_tasks, triples_b, run_id=f"batch-{b}")
         nodes, edges = materialize(nodes), materialize(edges)
     return nodes, edges
+
+
+def run_streaming_near_dedup(
+    spark: SparkSession,
+    input_dir: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    threshold: float = 0.9,
+    shingle_n: int = 3,
+    timeout_sec: int = 300,
+    max_files_per_trigger: int = 4,
+) -> None:
+    """Cross-batch NEAR-dup dedup as a stream: each microbatch of
+    (doc_id, text) parquet files folds into durable MinHash-LSH dedup
+    state — band keys under ``state_dir/bands/batch_id=N``, docs under
+    ``state_dir/docs/batch_id=N`` (the verify-side text lookup), and
+    the live (node, component) mapping under ``state_dir/mapping/vN``.
+
+    Replay safety WITHOUT transactional state: batch-scoped OVERWRITE
+    for docs/bands (re-running batch N rewrites the same partitions),
+    and the mapping fold is IDEMPOTENT — re-folding a batch whose pairs
+    are already in the mapping changes nothing (pytest-pinned), so
+    loading whatever mapping version is newest is always correct.
+    Contrast with ``streaming_exact_dedup`` (content-hash, per-row
+    state store): this path catches near-duplicates and keeps its
+    state queryable as plain tables.
+    """
+    from ..operators.canonicalize import connected_components, incremental_components
+    from ..operators.dedup import jaccard_verify, minhash_band_table
+
+    def _latest_mapping() -> tuple[int, "DataFrame | None"]:
+        mroot = Path(state_dir) / "mapping"
+        versions = sorted(
+            (int(p.name[1:]) for p in mroot.glob("v*") if p.is_dir()), reverse=True
+        )
+        for v in versions:
+            return v, spark.read.parquet(str(mroot / f"v{v}"))
+        return -1, None
+
+    def _process(batch_df, batch_id: int) -> None:
+        s = batch_df.sparkSession
+        batch_df = batch_df.select("doc_id", "text")
+        batch_df.write.mode("overwrite").parquet(f"{state_dir}/docs/batch_id={batch_id}")
+        nb = minhash_band_table(
+            s.read.parquet(f"{state_dir}/docs/batch_id={batch_id}"),
+            shingle_n=shingle_n, threshold=threshold,
+        )
+        nb.write.mode("overwrite").parquet(f"{state_dir}/bands/batch_id={batch_id}")
+        nb = s.read.parquet(f"{state_dir}/bands/batch_id={batch_id}")
+        all_bands = s.read.parquet(f"{state_dir}/bands")
+        all_docs = s.read.parquet(f"{state_dir}/docs")
+        a_, b_ = nb.alias("a"), all_bands.alias("b")
+        cands = (
+            a_.join(b_, (F.col("a.band") == F.col("b.band"))
+                    & (F.col("a.bh") == F.col("b.bh"))
+                    & (F.col("a.id") != F.col("b.id")))
+            .select(F.least(F.col("a.id"), F.col("b.id")).alias("id_a"),
+                    F.greatest(F.col("a.id"), F.col("b.id")).alias("id_b"))
+            .distinct()
+        )
+        pairs = jaccard_verify(cands, all_docs, threshold=threshold,
+                               shingle_n=shingle_n)
+        edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        _, mapping = _latest_mapping()
+        mapping = connected_components(edges) if mapping is None \
+            else incremental_components(mapping, edges)
+        mapping.write.mode("overwrite").parquet(f"{state_dir}/mapping/v{batch_id}")
+
+    stream = (
+        spark.readStream.schema("doc_id string, text string")
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)

@@ -5,6 +5,8 @@ introducing batch by design)."""
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from ontology_learning_spark.fixtures import baseline
 from ontology_learning_spark.fixtures.generator import DOCUMENT_SCHEMA
 from ontology_learning_spark.streaming.incremental import (
@@ -96,3 +98,59 @@ def test_fold_canonical_mapping_parity(spark, tmp_path):
     assert folded == full
 
     assert fold_canonical_mapping(spark, str(tmp_path / "nothing")).count() == 0
+
+
+def test_streaming_near_dedup_parity_and_idempotent_fold(spark, tmp_path):
+    """The streamed near-dup state after draining all batches must
+    equal the one-shot pipeline over every doc; and re-folding an
+    already-folded batch's edges is a no-op (the replay-safety
+    argument)."""
+    import random
+
+    from ontology_learning_spark.operators import dedup as DD
+    from ontology_learning_spark.operators.canonicalize import (
+        connected_components,
+        incremental_components,
+    )
+    from ontology_learning_spark.streaming.incremental import run_streaming_near_dedup
+
+    rng = random.Random(13)
+    words = [f"w{i}" for i in range(60)]
+
+    def mk():
+        return " ".join(rng.choice(words) for _ in range(25))
+
+    rows = [(str(i), mk()) for i in range(60)]
+    rows[7] = ("7", rows[0][1])                     # dup inside file 0's range
+    rows[45] = ("45", rows[2][1])                   # dup across batches
+    rows[50] = ("50", rows[45][1])                  # 3-chain across batches
+    in_dir = tmp_path / "in"
+    for b in range(3):                              # 3 part files, flat in in_dir
+        chunk = rows[b * 20:(b + 1) * 20]
+        spark.createDataFrame(chunk, "doc_id string, text string") \
+            .coalesce(1).write.mode("append").parquet(str(in_dir))
+
+    state = str(tmp_path / "state")
+    run_streaming_near_dedup(spark, str(in_dir), state, str(tmp_path / "ckpt"),
+                             threshold=0.9, max_files_per_trigger=1)
+
+    from pathlib import Path as P
+    versions = sorted(int(p.name[1:]) for p in (P(state) / "mapping").glob("v*"))
+    assert versions, "no mapping versions written"
+    final = spark.read.parquet(f"{state}/mapping/v{versions[-1]}")
+
+    all_df = spark.createDataFrame(rows, "doc_id string, text string")
+    full_pairs = DD.ngram_jaccard_pairs(all_df, threshold=0.9)
+    full = connected_components(
+        full_pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    )
+    got = {tuple(r) for r in final.collect()}
+    assert got == {tuple(r) for r in full.collect()}
+    assert {"0", "7"} <= {r[0] for r in got}        # planted dups mapped
+
+    # idempotent fold: re-folding the FULL pair set into the final
+    # mapping changes nothing
+    refold = incremental_components(
+        final, full_pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    )
+    assert {tuple(r) for r in refold.collect()} == got
