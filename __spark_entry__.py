@@ -71,14 +71,32 @@ def _vocab_surfaces() -> list[str]:
     return sorted(out)
 
 
-def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+def _spread(df: DataFrame) -> DataFrame:
+    """Parallelize a single-file scan before per-row-heavy work.
+
+    The driver tables are ONE parquet file with ONE row group each, and
+    a row group is the parquet split unit — so the scan stage, plus any
+    per-row-expensive work Spark fuses into it (mapInPandas extraction,
+    shingle explode + minhash partial aggregation, pandas UDFs), runs
+    as a SINGLE task no matter how many cores the session has (guide
+    §2.5: input skew from an unsplittable file → repartition right
+    after the read). Round-robin repartition to the session's default
+    parallelism: the shuffle moves only the few MB of the source table,
+    after which the heavy stage uses every core. Scale-adaptive (core
+    count, not a constant); a real multi-file corpus at scale would
+    arrive already splittable and callers there skip this."""
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 
 
-def _spans_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _docs(spark: SparkSession, sf_dir: str, spread: bool = False) -> DataFrame:
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return _spread(df) if spread else df
+
+
+def _spans_docs(spark: SparkSession, sf_dir: str, spread: bool = False) -> DataFrame:
     from ontology_learning_spark.sources.adapters import to_spans
 
-    return to_spans(_docs(spark, sf_dir))
+    return to_spans(_docs(spark, sf_dir, spread=spread))
 
 
 def _edges_df(spark: SparkSession) -> DataFrame:
@@ -156,7 +174,7 @@ def _q_kg_mention_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ontology_learning_spark.operators import extraction as E
 
     surfaces = tuple(_vocab_surfaces())
-    docs = _spans_docs(spark, sf_dir)
+    docs = _spans_docs(spark, sf_dir, spread=True)
     prepped = E.preprocess(E.concat_text_spans(docs))
     extracted = E.extract(prepped, surfaces)
     m = extracted.select(F.explode("mentions").alias("m")).select(F.col("m.surface").alias("surface"))
@@ -167,7 +185,7 @@ def _q_kg_doc_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ontology_learning_spark.operators import extraction as E
 
     surfaces = tuple(_vocab_surfaces())
-    docs = _spans_docs(spark, sf_dir)
+    docs = _spans_docs(spark, sf_dir, spread=True)
     prepped = E.preprocess(E.concat_text_spans(docs))
     extracted = E.extract(prepped, surfaces)
     m = extracted.select(
@@ -780,7 +798,7 @@ def _q_emb_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     qvec = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
-    top = brute_force_topk(emb, qvec, k=10)
+    top = brute_force_topk(_spread(emb), qvec, k=10)
     return top.select("vec_id", F.round("cosine_sim", 4).alias("cosine_sim"))
 
 
@@ -1028,7 +1046,7 @@ def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounds covers diameter 6)."""
     from ontology_learning_spark.operators.dedup import dedup_clusters
 
-    return dedup_clusters(_docs(spark, sf_dir), threshold=0.9)
+    return dedup_clusters(_docs(spark, sf_dir, spread=True), threshold=0.9)
 
 
 def _q_qa_corpus_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1209,7 +1227,7 @@ def _q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     mid-band pairs. Threshold raised from 0.5 per round-2 review."""
     from ontology_learning_spark.operators.dedup import ngram_jaccard_pairs
 
-    return ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.9).select(
+    return ngram_jaccard_pairs(_docs(spark, sf_dir, spread=True), threshold=0.9).select(
         "id_a", "id_b", F.round("jaccard", 4).alias("jaccard")
     )
 
@@ -1220,7 +1238,7 @@ def _q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     md5-based simhash bit-for-bit in SQL and brute-force joins."""
     from ontology_learning_spark.operators.dedup import simhash_near_dups
 
-    return simhash_near_dups(_docs(spark, sf_dir), max_hamming=3)
+    return simhash_near_dups(_docs(spark, sf_dir, spread=True), max_hamming=3)
 
 
 def _q_emb_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1230,7 +1248,7 @@ def _q_emb_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall at the 0.9 threshold itself is pytest-asserted."""
     from ontology_learning_spark.operators.simsearch import embedding_near_dups
 
-    aug = _aug_embeddings(spark, sf_dir)
+    aug = _spread(_aug_embeddings(spark, sf_dir))
     # bands/rows auto-sized from count+threshold (lsh_plan): exercises
     # the scale-parameterized default the 100 TB path would use
     return embedding_near_dups(aug, threshold=0.9).select(
@@ -1278,7 +1296,10 @@ def _q_emb_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         train_pq_codebooks,
     )
 
-    aug = _aug_embeddings(spark, sf_dir)
+    # _spread: the training sample is hash-ordered (partition-layout-
+    # independent), so parallelizing the one-row-group scan cannot
+    # change the codebooks or the result set.
+    aug = _spread(_aug_embeddings(spark, sf_dir))
     books = train_pq_codebooks(aug, m=8, n_codes=64, sample_size=4096, seed=42)
     qvec = [float(x) for x in aug.where(F.col("vec_id") == 0).first()["embedding"]]
     codes = pq_encode(aug, books)
@@ -1292,7 +1313,7 @@ def _q_emb_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ontology_learning_spark.operators.multimodal import decode_media, media_refs_from_spans
 
-    media = media_refs_from_spans(_spans_docs(spark, sf_dir))
+    media = media_refs_from_spans(_spans_docs(spark, sf_dir, spread=True))
     # every selected field is parsed by decode_media_header out of REAL
     # planted container bytes (PNG IHDR / JPEG SOF / GIF LSD / WAV fmt)
     # and recomputed by the oracle from the plant formula — the hash

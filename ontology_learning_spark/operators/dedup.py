@@ -48,7 +48,7 @@ def exact_dup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
 # ---------------------------------------------------------------------------
 
 
-def word_shingles(col, n: int = 3):
+def word_shingles_catalyst(col, n: int = 3):
     """Distinct word n-grams as an array column (pure Catalyst).
 
     Shape matters: referencing the tokenized array inside a per-element
@@ -57,7 +57,16 @@ def word_shingles(col, n: int = 3):
     — re-tokenizing the whole document once per shingle, O(tokens²)
     regex work per doc (measured 20s of the 21s minhash bench time at
     sf0.1). arrays_zip of n shifted slices evaluates the split O(n)
-    times per ROW instead, and the zip/transform are per-element cheap."""
+    times per ROW instead, and the zip/transform are per-element cheap.
+
+    Kept as the JVM reference implementation (and the semantic twin of
+    the DuckDB oracles); the hot paths use the vectorized
+    ``word_shingles`` below — higher-order array functions are
+    INTERPRETED expression eval (no whole-stage codegen), and the
+    zip/struct/concat chain was measured at ~300 core-seconds for 2.6M
+    shingles (50k docs) vs ~10 for the Arrow-vectorized form.
+    ``tests/test_round6_shingles.py`` pins bitwise equality of the two
+    on adversarial inputs (tabs/newlines/empties/nulls/repeats)."""
     toks = F.split(F.lower(F.trim(col)), r"\s+")
     k = F.greatest(F.size(toks) - (n - 1), F.lit(0))
     zipped = F.arrays_zip(*[F.slice(toks, j + 1, k) for j in range(n)])
@@ -65,6 +74,55 @@ def word_shingles(col, n: int = 3):
         zipped, lambda s: F.concat_ws(" ", *[s[str(j)] for j in range(n)])
     )
     return F.array_distinct(F.when(F.size(toks) >= n, grams).otherwise(F.array()))
+
+
+# Java-regex \s (no UNICODE_CHARACTER_CLASS) = [ \t\n\x0B\f\r]; using the
+# exact class keeps the Python tokenizer bit-identical to
+# F.split(..., r"\s+") even on control-character whitespace. F.trim
+# strips U+0020 only → .strip(" "), not .strip().
+import re as _re
+
+_JAVA_WS = _re.compile("[ \t\n\x0b\f\r]+")
+
+
+def _shingle_udf(n: int):
+    """Vectorized word-shingler: one Python loop per Arrow batch, no
+    interpreted JVM higher-order functions (guide §4.1/§4.2 — the
+    Catalyst zip/transform/distinct chain evaluates per-element in
+    interpreted mode and allocates a struct row per shingle; measured
+    ~30x slower than this form at 50k docs). dict.fromkeys preserves
+    first-occurrence order — exactly array_distinct's semantics."""
+
+    @F.pandas_udf(T.ArrayType(T.StringType()))
+    def udf(texts: pd.Series) -> pd.Series:
+        out = []
+        append = out.append
+        split = _JAVA_WS.split
+        for t in texts:
+            toks = split((t or "").strip(" ").lower())
+            if len(toks) < n:
+                append([])
+            else:
+                append(list(dict.fromkeys(
+                    " ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)
+                )))
+        return pd.Series(out)
+
+    return udf
+
+
+_SHINGLE_UDFS: dict[int, object] = {}
+
+
+def word_shingles(col, n: int = 3):
+    """Distinct word n-grams as an array column. Semantics identical to
+    ``word_shingles_catalyst`` (the parity test pins it); implementation
+    is an Arrow-vectorized UDF because the Catalyst higher-order-function
+    chain runs interpreted and dominated the minhash/dedup walls."""
+    udf = _SHINGLE_UDFS.get(n)
+    if udf is None:
+        udf = _SHINGLE_UDFS[n] = _shingle_udf(n)
+    return udf(col)
 
 
 # Universal-hash constants for derived minhashes: minhash_i over a
@@ -233,9 +291,11 @@ def minhash_band_table(
     params = _hash_params(num_hashes)
     # explode shingles → one xxhash64 per shingle → num_hashes plain
     # arithmetic projections (whole-stage codegen) → groupBy-min.
+    # No size(sh)>0 pre-filter: explode already drops empty arrays, and
+    # a filter referencing the UDF-computed column would make the
+    # optimizer evaluate the shingle UDF twice (guide §4.4).
     ex = (
         df.select(F.col(id_col).alias("id"), word_shingles(F.col(text_col), shingle_n).alias("sh"))
-        .where(F.size("sh") > 0)
         .select("id", F.explode("sh").alias("g"))
         .withColumn("h", F.pmod(F.xxhash64("g"), F.lit(1 << 31)))
     )
