@@ -1238,7 +1238,11 @@ def _q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     md5-based simhash bit-for-bit in SQL and brute-force joins."""
     from ontology_learning_spark.operators.dedup import simhash_near_dups
 
-    return simhash_near_dups(_docs(spark, sf_dir, spread=True), max_hamming=3)
+    # n_docs from the raw scan (parquet-footer count, no shuffle) so the
+    # auto-sizing probe doesn't re-execute the repartition; same value,
+    # same block geometry, same result.
+    raw = _docs(spark, sf_dir)
+    return simhash_near_dups(_spread(raw), max_hamming=3, n_docs=raw.count())
 
 
 def _q_emb_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1250,8 +1254,11 @@ def _q_emb_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     aug = _spread(_aug_embeddings(spark, sf_dir))
     # bands/rows auto-sized from count+threshold (lsh_plan): exercises
-    # the scale-parameterized default the 100 TB path would use
-    return embedding_near_dups(aug, threshold=0.9).select(
+    # the scale-parameterized default the 100 TB path would use.
+    # n_docs = footer count of the base table + the planted rows —
+    # identical to aug.count() without re-executing the union+shuffle.
+    n = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count() + N_PLANTED
+    return embedding_near_dups(aug, threshold=0.9, n_docs=n).select(
         "id_a", "id_b", F.round("cosine_sim", 4).alias("cosine_sim")
     )
 

@@ -31,16 +31,44 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 50,
+    small_threshold: int = 200_000,
 ) -> DataFrame:
     """Return (node, component) where component = min node id (string
     ordering) in the node's connected component.
 
-    Implementation: iterated min-label propagation over the symmetric
-    edge set (a simple, robustly correct variant of star contraction:
-    each round every node adopts the min of its own label and its
-    neighbours' labels; converges in diameter rounds, which is small
-    for alias graphs — chains are short, hubs are depth-1).
+    Hybrid plan (same pattern as ``canonical_mapping`` /
+    ``incremental_components``): below ``small_threshold`` edges the
+    pairs are collected by a bounded ``limit(k+1)`` probe and resolved
+    with the exact driver union-find ``_uf_min_labels`` — identical
+    min-label semantics, zero iterative rounds. Near-dup pair sets are
+    typically orders of magnitude smaller than the corpus, and each
+    distributed round costs 2 exchanges + a checkpoint + a count job,
+    which dominates wall time for small graphs (measured ~3 s of the
+    9.6 s dedup_clusters wall at 50k docs for a 2.5k-pair graph).
+    Above the threshold, the distributed min-label propagation loop
+    runs as before.
+
+    Implementation (large path): iterated min-label propagation over
+    the symmetric edge set (a simple, robustly correct variant of star
+    contraction: each round every node adopts the min of its own label
+    and its neighbours' labels; converges in diameter rounds, which is
+    small for alias graphs — chains are short, hubs are depth-1).
     """
+    e0 = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+    )
+    probe = e0.limit(small_threshold + 1).collect()
+    if len(probe) <= small_threshold:
+        merged = _uf_min_labels([(r["src"], r["dst"]) for r in probe])
+        ntype = edges.schema[src].dataType.simpleString()
+        spark = edges.sparkSession
+        # UTF-8 byte order == code-point order, so the Python min-label
+        # matches Spark's string ordering exactly; numeric ids compare
+        # identically too.
+        return spark.createDataFrame(
+            sorted(merged.items()), schema=f"node {ntype}, component {ntype}"
+        )
     # Shuffle budget per round: the labels-onto-edges join exchanges
     # both sides plus one aggregation exchange. Pre-partitioning the
     # edge set to make the joins exchange-free does NOT survive in

@@ -52,6 +52,23 @@ def test_udf_shingles_bitwise_equal_catalyst(spark, n):
         assert r["ref"] == r["opt"], (n, r["doc_id"], r["ref"], r["opt"])
 
 
+@pytest.mark.parametrize("n", [3, 8])
+def test_exploded_shingles_equals_explode_of_array_form(spark, n):
+    from ontology_learning_spark.operators.dedup import exploded_shingles
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(ADVERSARIAL_TEXTS)], "doc_id long, text string"
+    )
+    ref = (
+        df.select(F.col("doc_id").alias("id"),
+                  F.explode(word_shingles_catalyst(F.col("text"), n)).alias("g"))
+        .groupBy("id", "g").count()
+    )
+    opt = exploded_shingles(df, "text", "doc_id", n).groupBy("id", "g").count()
+    assert ref.join(opt, ["id", "g", "count"], "left_anti").count() == 0
+    assert opt.join(ref, ["id", "g", "count"], "left_anti").count() == 0
+
+
 def test_udf_shingles_equal_on_driver_corpus(spark):
     docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
     mismatch = docs.select(
