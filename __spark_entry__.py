@@ -593,7 +593,10 @@ def _q_rel_q1_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_rel_topk_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ontology_learning_spark.functions.windows import ranked_topk
 
-    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    # orders is a single parquet file (1-2 row groups): without the
+    # spread, the broadcast join + partial aggregation over 1.5M rows
+    # (sf1.0) runs in one scan task (guide §2.5).
+    o = _spread(spark.read.parquet(f"{sf_dir}/orders.parquet"))
     c = spark.read.parquet(f"{sf_dir}/customer.parquet")
     agg = (
         o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
