@@ -1321,14 +1321,16 @@ def _q_emb_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ontology_learning_spark.operators.multimodal import decode_media, media_refs_from_spans
+    from ontology_learning_spark.operators.multimodal import decode_media_refs
 
-    media = media_refs_from_spans(_spans_docs(spark, sf_dir, spread=True))
     # every selected field is parsed by decode_media_header out of REAL
     # planted container bytes (PNG IHDR / JPEG SOF / GIF LSD / WAV fmt)
     # and recomputed by the oracle from the plant formula — the hash
-    # match proves the stdlib header parse round-trips
-    return decode_media(media).select(
+    # match proves the stdlib header parse round-trips.
+    # decode_media_refs fuses plant+decode into one Python pass so the
+    # payload bytes never cross the Arrow boundary (same functions,
+    # same rows — see multimodal.py).
+    return decode_media_refs(_spans_docs(spark, sf_dir, spread=True)).select(
         "doc_id", "media_ref", "codec", "width", "height", "n_frames",
         "channels", "sample_rate", "duration_ms",
     )

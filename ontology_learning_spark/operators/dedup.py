@@ -303,9 +303,18 @@ def minhash_lsh_candidates(
     """Near-dup candidate pairs via banded MinHash (id_a < id_b).
     ``num_hashes``/``bands`` default to ``minhash_plan(threshold)``;
     with exactly one given, the other is derived coherently from it
-    (``_resolve_minhash_geometry``)."""
-    banded = minhash_band_table(df, text_col, id_col, num_hashes, bands,
-                                shingle_n, threshold)
+    (``_resolve_minhash_geometry``).
+
+    The band table is PINNED before the self-join: the executed plan
+    otherwise runs the whole signature subtree (Arrow shingle pass +
+    wide min-aggregation) once per join side — AQE's broadcast-join
+    conversion replaces one side's Exchange with a BroadcastExchange,
+    so ReuseExchange never fires on this shape (verified: 2x
+    PythonMapInArrow in the executed plan without the pin)."""
+    from ..functions.persistence import materialize
+
+    banded = materialize(minhash_band_table(df, text_col, id_col, num_hashes,
+                                            bands, shingle_n, threshold))
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -634,24 +643,42 @@ def simhash_near_dups(df: DataFrame, text_col: str = "text", id_col: str = "doc_
             f"blocks={blocks} must be > max_hamming={max_hamming}: the "
             f"pigeonhole blocking keys on (blocks - max_hamming)-block "
             f"combinations, which would be empty")
+    from ..functions.persistence import materialize
+
     m = blocks if blocks is not None else pick_simhash_blocks(
         n_docs if n_docs is not None else df.count(), max_hamming)
-    sig = df.select(F.col(id_col).alias("id"), simhash64_udf(F.col(text_col)).alias("sig"))
+    # Pin the (id, sig) table before fanning out to blocking keys: the
+    # self-join's broadcast side otherwise re-runs the simhash pandas
+    # UDF over the whole corpus (no ReuseExchange under AQE's
+    # broadcast conversion — see minhash_lsh_candidates). The pin is
+    # corpus-ROW-sized but only 16 bytes/row; the 10x key fan-out
+    # stays lazy and is recomputed per side from the pinned sigs
+    # (plain codegen arithmetic, cheap by construction).
+    sig = materialize(
+        df.select(F.col(id_col).alias("id"), simhash64_udf(F.col(text_col)).alias("sig"))
+    )
     tabled = sig.select(
         "id", "sig",
         F.explode(simhash_blocking_keys(F.col("sig"), m, max_hamming)).alias("tk"),
     ).select("id", "sig", F.col("tk.tbl").alias("tbl"), F.col("tk.key").alias("key"))
     a, b = tabled.alias("a"), tabled.alias("b")
-    cand = (
+    # Hamming verify BEFORE the distinct: dup-heavy corpora produce
+    # far more same-key join hits than surviving pairs (measured 2.35M
+    # hits → 13.9k pairs at 50k docs), and the old shape shuffled every
+    # hit (plus both 64-bit sigs) through the dedup exchange. The
+    # bit_count filter is a per-row projection — evaluating it on the
+    # join output first shrinks the distinct's input ~17x. Same rows
+    # out: filter-then-distinct ≡ distinct-then-filter for a
+    # deterministic per-row predicate, and hamming is a function of the
+    # pair so the projected distinct keys are unchanged.
+    hamming = F.bit_count(F.col("a.sig").bitwiseXOR(F.col("b.sig")))
+    return (
         a.join(b, (F.col("a.tbl") == F.col("b.tbl")) & (F.col("a.key") == F.col("b.key"))
                & (F.col("a.id") < F.col("b.id")))
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
-                F.col("a.sig").alias("sig_a"), F.col("b.sig").alias("sig_b"))
+                hamming.alias("hamming"))
+        .where(F.col("hamming") <= max_hamming)
         .distinct()
-    )
-    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
-    return cand.withColumn("hamming", hamming).where(F.col("hamming") <= max_hamming).select(
-        "id_a", "id_b", "hamming"
     )
 
 

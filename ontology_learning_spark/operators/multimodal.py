@@ -155,6 +155,43 @@ def decode_media(df: DataFrame) -> DataFrame:
     )
 
 
+def decode_media_refs(docs: DataFrame) -> DataFrame:
+    """Plan fusion of ``decode_media(media_refs_from_spans(docs))`` for
+    the planted-payload path: ONE mapInPandas pass that builds the real
+    container bytes (``make_media_bytes``) and header-parses them
+    (``decode_media_header`` / ``_decode_fake``) without shipping the
+    payload JVM→Python→JVM→Python (guide §4.1: every boundary crossing
+    costs a transpose + serialization of the binary column — ~50 MB
+    each way at 50k refs). Same functions, same rows; only the bytes'
+    travel is removed. Real object-store media uses ``decode_media``
+    on fetched content as before."""
+
+    cols = ["doc_id", "media_ref", "media_type", "codec", "width", "height",
+            "n_frames", "mean_luma", "channels", "sample_rate",
+            "duration_ms", "decode_ok"]
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            recs = []
+            for doc_id, ref in zip(pdf["doc_id"], pdf["media_ref"]):
+                media_type, content = make_media_bytes(ref)
+                d = decode_media_header(content)
+                if d is None:
+                    d = _decode_fake(content, media_type)
+                recs.append(
+                    (doc_id, ref, media_type, d["codec"],
+                     d["width"], d["height"], d["n_frames"], d["mean_luma"],
+                     d["channels"], d["sample_rate"], d["duration_ms"], True)
+                )
+            yield pd.DataFrame(recs, columns=cols)
+
+    refs = docs.select(
+        "doc_id",
+        F.explode(F.filter("spans", lambda s: s["kind"] == "media")).alias("s"),
+    ).select("doc_id", F.col("s.media_ref").alias("media_ref"))
+    return refs.mapInPandas(_run, DECODED_SCHEMA)
+
+
 def sample_frames(decoded: DataFrame, every_n: int = 5) -> DataFrame:
     """Frame fan-out: one row per sampled frame index (pure Catalyst
     explode over a sequence — the decode already counted frames)."""

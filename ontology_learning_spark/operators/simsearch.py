@@ -318,9 +318,16 @@ def embedding_near_dups(
     if bands is None and rows_per_band is None and n_docs is None:
         n_docs = df.count()
     bands, rows_per_band = _resolve_lsh_geometry(threshold, bands, rows_per_band, n_docs)
-    sig = lsh_band_signatures(
+    # Pin the signature table before the self-join: AQE's broadcast
+    # conversion defeats ReuseExchange on self-joins, so the signature
+    # pandas UDF (one matmul per batch over the WHOLE corpus) would
+    # otherwise execute once per join side (verified: 2x
+    # ArrowEvalPython in the executed plan without the pin).
+    from ..functions.persistence import materialize
+
+    sig = materialize(lsh_band_signatures(
         df, _first_dim(df, vec_col), bands, rows_per_band, seed, vec_col, id_col
-    )
+    ))
     a, b = sig.alias("a"), sig.alias("b")
     cand = (
         a.join(
