@@ -269,6 +269,14 @@ def run_streaming_near_dedup(
             (int(p.name[1:]) for p in mroot.glob("v*") if p.is_dir()), reverse=True
         )
         for v in versions:
+            # Skip torn writes: a crash during batch N's mapping write
+            # leaves a v{N} directory without a _SUCCESS marker (empty →
+            # schema-inference error wedges the fold; partial → silently
+            # dropped historical rows). Falling back to v(N-1) is exactly
+            # correct because re-folding batch N's pairs into v(N-1) is
+            # pinned idempotent (replay-safety test).
+            if not (mroot / f"v{v}" / "_SUCCESS").exists():
+                continue
             return v, spark.read.parquet(str(mroot / f"v{v}"))
         return -1, None
 

@@ -154,3 +154,27 @@ def test_streaming_near_dedup_parity_and_idempotent_fold(spark, tmp_path):
         final, full_pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
     )
     assert {tuple(r) for r in refold.collect()} == got
+
+    # Torn-write recovery (ADVICE r5): a crash mid-write leaves a
+    # newest mapping/vN directory with no _SUCCESS marker. The next
+    # run must skip it and fold onto the previous committed version
+    # instead of wedging on schema inference (empty dir) or silently
+    # reading a partial mapping.
+    torn = P(state) / "mapping" / f"v{versions[-1] + 7}"
+    torn.mkdir(parents=True)
+    (torn / "part-00000.parquet.tmp").write_bytes(b"not parquet")
+    extra = [(str(1000 + i), mk()) for i in range(20)]
+    extra[3] = ("1003", rows[0][1])                 # joins an existing cluster
+    spark.createDataFrame(extra, "doc_id string, text string") \
+        .coalesce(1).write.mode("append").parquet(str(in_dir))
+    run_streaming_near_dedup(spark, str(in_dir), state, str(tmp_path / "ckpt"),
+                             threshold=0.9, max_files_per_trigger=1)
+    versions2 = sorted(int(p.name[1:]) for p in (P(state) / "mapping").glob("v*")
+                       if (P(state) / "mapping" / p.name / "_SUCCESS").exists())
+    final2 = spark.read.parquet(f"{state}/mapping/v{versions2[-1]}")
+    all2 = spark.createDataFrame(rows + extra, "doc_id string, text string")
+    full2 = connected_components(
+        DD.ngram_jaccard_pairs(all2, threshold=0.9)
+        .select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    )
+    assert {tuple(r) for r in final2.collect()} == {tuple(r) for r in full2.collect()}
