@@ -1255,7 +1255,9 @@ def _q_emb_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall at the 0.9 threshold itself is pytest-asserted."""
     from ontology_learning_spark.operators.simsearch import embedding_near_dups
 
-    aug = _spread(_aug_embeddings(spark, sf_dir))
+    # pinned: the signature pass and the two vector-fetch joins would
+    # each re-execute the union+shuffle otherwise
+    aug = _spread(_aug_embeddings(spark, sf_dir)).localCheckpoint()
     # bands/rows auto-sized from count+threshold (lsh_plan): exercises
     # the scale-parameterized default the 100 TB path would use.
     # n_docs = footer count of the base table + the planted rows —
@@ -1308,9 +1310,14 @@ def _q_emb_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # _spread: the training sample is hash-ordered (partition-layout-
     # independent), so parallelizing the one-row-group scan cannot
-    # change the codebooks or the result set.
-    aug = _spread(_aug_embeddings(spark, sf_dir))
-    books = train_pq_codebooks(aug, m=8, n_codes=64, sample_size=4096, seed=42)
+    # change the codebooks or the result set. The frame is pinned
+    # because four consumers (sample, query probe, encode, top-k scan)
+    # would each re-execute the union+shuffle; n_docs comes from the
+    # parquet footer (+ the planted rows), killing the count job.
+    aug = _spread(_aug_embeddings(spark, sf_dir)).localCheckpoint()
+    n = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count() + N_PLANTED
+    books = train_pq_codebooks(aug, m=8, n_codes=64, sample_size=4096, seed=42,
+                               n_docs=n)
     qvec = [float(x) for x in aug.where(F.col("vec_id") == 0).first()["embedding"]]
     codes = pq_encode(aug, books)
     return (

@@ -393,7 +393,11 @@ def jaccard_verify(
         .union(candidates.select(F.col("id_b").alias("id")))
         .distinct()
     )
-    sh = (
+    # sh feeds BOTH pair sides: unpinned, each join side re-runs the
+    # corpus semi-join scan plus the shingle UDF over the candidate
+    # docs (2x Scan parquet + 2x ArrowEvalPython in the executed plan)
+    # — at scale that is two full corpus scans for one verify.
+    sh = materialize(
         df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_t"))
         .join(F.broadcast(cand_ids), "id", "left_semi")
         .select("id", word_shingles(F.col("_t"), shingle_n).alias("sh"))

@@ -483,6 +483,7 @@ def train_pq_codebooks(
     seed: int = 42,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    n_docs: int | None = None,
 ) -> np.ndarray:
     """Train per-subspace k-means codebooks; returns (m, n_codes, d/m).
 
@@ -494,7 +495,10 @@ def train_pq_codebooks(
     corpus-side work is encode, below). Deterministic for a given
     (seed, corpus): hash order is data-defined, not partition-defined.
     """
-    n = df.count()
+    # n_docs: let callers that already know the corpus size skip the
+    # count job (same value → same hash-filter denominator → identical
+    # sample and codebooks).
+    n = n_docs if n_docs is not None else df.count()
     frac_denom = max(1, n // max(1, 2 * sample_size))
     h = F.pmod(F.xxhash64(F.col(id_col).cast("string")) + F.lit(seed), F.lit(frac_denom * 1000))
     sample_rows = (
