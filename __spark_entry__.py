@@ -176,7 +176,10 @@ def _q_kg_mention_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     surfaces = tuple(_vocab_surfaces())
     docs = _spans_docs(spark, sf_dir, spread=True)
     prepped = E.preprocess(E.concat_text_spans(docs))
-    extracted = E.extract(prepped, surfaces)
+    # relations=False: this consumer never reads the triples column and
+    # the relation regex pass is ~2/3 of the extraction Python cost —
+    # mentions are identical (pinned by tests/test_round6_extract_flag.py)
+    extracted = E.extract(prepped, surfaces, relations=False)
     m = extracted.select(F.explode("mentions").alias("m")).select(F.col("m.surface").alias("surface"))
     return m.groupBy("surface").agg(F.count("*").alias("n")).orderBy("surface")
 
@@ -187,7 +190,8 @@ def _q_kg_doc_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
     surfaces = tuple(_vocab_surfaces())
     docs = _spans_docs(spark, sf_dir, spread=True)
     prepped = E.preprocess(E.concat_text_spans(docs))
-    extracted = E.extract(prepped, surfaces)
+    # relations=False: mention-only consumer (see kg_mention_counts)
+    extracted = E.extract(prepped, surfaces, relations=False)
     m = extracted.select(
         F.col("doc_id").cast("bigint").alias("doc_id"), F.explode("mentions").alias("m")
     ).select("doc_id", F.col("m.surface").alias("surface"))
@@ -454,7 +458,8 @@ def _q_kg_saturation(spark: SparkSession, sf_dir: str) -> DataFrame:
     surfaces = tuple(_vocab_surfaces())
     docs = _spans_docs(spark, sf_dir)
     prepped = E.preprocess(E.concat_text_spans(docs))
-    extracted = E.extract(prepped, surfaces)
+    # relations=False: mention-only consumer (see kg_mention_counts)
+    extracted = E.extract(prepped, surfaces, relations=False)
     m = extracted.select(
         F.col("doc_id").cast("bigint").alias("doc_id"), F.explode("mentions").alias("m")
     ).select("doc_id", F.col("m.surface").alias("norm_surface"))

@@ -104,16 +104,26 @@ def preprocess(df: DataFrame, text_col: str = "doc_text") -> DataFrame:
     return df.withColumn("clean_text", C.preprocess_text_cached(text_col))
 
 
-def extract(df: DataFrame, surfaces: tuple[str, ...]) -> DataFrame:
-    """E1+E4 in one Arrow pass over (doc_id, clean_text)."""
+def extract(df: DataFrame, surfaces: tuple[str, ...], relations: bool = True) -> DataFrame:
+    """E1+E4 in one Arrow pass over (doc_id, clean_text).
+
+    ``relations=False`` skips the E4 relation-pattern scan and emits
+    empty ``triples`` arrays (same schema): the relation regex pass is
+    ~2/3 of the per-doc Python cost (profiled: 2.52 s vs 1.24 s for the
+    mention scan per 5k docs single-core), and mention-only consumers
+    (the mention-count queries) never read the triples column — Spark
+    cannot prune work inside an opaque mapInPandas (guide §4.1), so the
+    caller must. Mentions are bit-identical either way (pytest-pinned).
+    """
 
     def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         matcher = X.get_matcher(surfaces)  # built once per executor
+        _empty: list[tuple[str, str, str]] = []
         for pdf in batches:
             out_doc, out_m, out_t = [], [], []
             for doc_id, text in zip(pdf["doc_id"], pdf["clean_text"]):
                 mentions = matcher.find(text or "")
-                triples = X.find_relations(text or "", surfaces)
+                triples = X.find_relations(text or "", surfaces) if relations else _empty
                 out_doc.append(doc_id)
                 valid = []
                 for m in mentions:

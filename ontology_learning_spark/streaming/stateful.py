@@ -217,7 +217,7 @@ def streaming_concept_saturation(
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     docs = reader.parquet(input_dir)
     clean = E.preprocess(E.concat_text_spans(docs))
-    mentions = E.extract(clean, surfaces).select(
+    mentions = E.extract(clean, surfaces, relations=False).select(
         F.explode("mentions").alias("m")
     ).select(F.col("m.norm_surface").alias("concept"))
     firsts = mentions.groupBy("concept").applyInPandasWithState(
