@@ -48,6 +48,57 @@ class Mention:
     char_offset: int
 
 
+def trie_pattern(words: set[str] | list[str]) -> str:
+    """Regex source matching exactly the given literal words, with
+    backtracking order equivalent to a longest-first alternation.
+
+    Python's ``re`` does not factor shared prefixes out of alternations,
+    so a 300-word vocabulary alternation attempts every alternative at
+    every scan position. A character-trie regex shares the prefixes
+    (measured 5.2x on the dictionary scan, 5.8x on the relation scan,
+    identical output).
+
+    Order-equivalence argument (why this is safe to swap in for the
+    ``sorted(vocab, key=len, reverse=True)`` alternation): all words
+    matching at one fixed text position are prefixes of the same text,
+    so they form a single root path of the trie — a chain. Serializing
+    every node as ``(?:children)?`` (greedy optional: descend before
+    accepting the terminal) makes backtracking yield that chain
+    longest-first, which is exactly the order the length-sorted
+    alternation yields for the alternatives that match. Non-matching
+    alternatives contribute nothing but scan time in either form, and
+    sibling branches start with distinct characters so at most one can
+    match at a position — branch order is irrelevant. Pinned by the
+    differential fuzz in tests/test_round6_trie.py.
+    """
+    root: dict = {}
+    _TERM = "\0"
+    for w in words:
+        node = root
+        for ch in w:
+            node = node.setdefault(ch, {})
+        node[_TERM] = True
+
+    def _ser(node: dict) -> str:
+        term = _TERM in node
+        alts = []
+        for ch in sorted(k for k in node if k != _TERM):
+            run = re.escape(ch)
+            child = node[ch]
+            # collapse single-child non-terminal chains into literal runs
+            while _TERM not in child and len(child) == 1:
+                nxt = next(iter(child))
+                run += re.escape(nxt)
+                child = child[nxt]
+            alts.append(run + _ser(child))
+        if not alts:
+            return ""
+        body = "(?:" + "|".join(alts) + ")"
+        return body + "?" if term else body
+
+    return _ser(root)
+
+
 class DictionaryMatcher:
     """Longest-match-first, word-boundary, non-overlapping scanner.
 
@@ -61,9 +112,10 @@ class DictionaryMatcher:
         vocab: set[str] = set()
         for s in surfaces:
             vocab.update(surface_variants(s))
-        ordered = sorted(vocab, key=len, reverse=True)
-        if ordered:
-            pat = r"\b(" + "|".join(re.escape(v) for v in ordered) + r")\b"
+        if vocab:
+            # trie form of the longest-first alternation — same matches,
+            # same order, ~5x the scan speed (see trie_pattern)
+            pat = r"\b(" + trie_pattern(vocab) + r")\b"
             self._rx: re.Pattern[str] | None = re.compile(pat)
         else:
             self._rx = None
@@ -150,10 +202,10 @@ def _compiled_relation_patterns(surfaces: tuple[str, ...]):
     vocab: set[str] = set()
     for s in surfaces:
         vocab.update(surface_variants(s))
-    ordered = sorted(vocab, key=len, reverse=True)
-    alts = [re.escape(v) for v in ordered]
-    alts.append(PART_NUMBER_INNER)
-    mention_pat = "(?:" + "|".join(alts) + ")"
+    # trie form of the longest-first vocab alternation; the part-number
+    # regex stays appended LAST, as in the alternation it replaces
+    mention_pat = "(?:" + trie_pattern(vocab) + "|" + PART_NUMBER_INNER + ")" \
+        if vocab else "(?:" + PART_NUMBER_INNER + ")"
     combined = re.compile(
         ("(?P<a>{M}) (?P<v>" + _VERB_ALTERNATION + ")(?P<b>{M})").replace("{M}", mention_pat)
     )
