@@ -341,13 +341,120 @@ def minhash_band_table(
     corpus-size-INDEPENDENT, which is what makes the table stable
     across deltas (the same threshold always produces the same keys).
     At scale, store it bucketed by (band, bh) so the candidate join is
-    exchange-free on the history side."""
+    exchange-free on the history side.
+
+    Implementation: ONE fused mapInArrow pass — shingle, XXH64 each
+    gram (``functions.xxh64``, bit-exact with ``F.xxhash64``), fold the
+    universal-hash mins per doc, and hash each band's signature slice —
+    emitting (id, band, bh) directly. Row-identical to the JVM
+    reference (``minhash_band_table_catalyst``: explode → xxhash64 →
+    wide groupBy-min → band struct explode), pinned by
+    ``tests/test_round6_band_arrow.py``. The fusion removes the gram
+    exchange, the ``num_hashes``-column aggregation (and its multi-
+    second one-time codegen compile), and ~90 driver-side expression
+    trees per call — at 100 TB the gram explode was the single largest
+    shuffle in the dedup path; here the grams never leave the Python
+    worker that produced them."""
     num_hashes, bands = _resolve_minhash_geometry(threshold, num_hashes, bands)
     rows = num_hashes // bands
     params = _hash_params(num_hashes)
-    # fused shingle+explode Arrow pass → one xxhash64 per shingle →
-    # num_hashes plain arithmetic projections (whole-stage codegen) →
-    # groupBy-min.
+    a_vec = np.array([a for a, _ in params], dtype=np.int64)
+    b_vec = np.array([b for _, b in params], dtype=np.int64)
+    n = shingle_n
+    ws_split = _JAVA_WS.split
+    p31 = np.int64(1 << 31)
+    mersenne = np.int64(_MERSENNE_P)
+
+    import pyarrow as pa
+
+    from ..functions.xxh64 import xxh64_many
+
+    def _run(batches):
+        for batch in batches:
+            id_type = batch.column(0).type
+            ids = batch.column(0).to_pylist()
+            texts = batch.column(1).to_pylist()
+            doc_ids: list = []
+            gram_bytes: list = []
+            offsets = [0]
+            for i, txt in zip(ids, texts):
+                toks = ws_split((txt or "").strip(" ").lower())
+                if len(toks) < n:
+                    continue
+                gs = dict.fromkeys(
+                    " ".join(toks[j:j + n]) for j in range(len(toks) - n + 1)
+                )
+                doc_ids.append(i)
+                gram_bytes.extend(g.encode("utf-8") for g in gs)
+                offsets.append(len(gram_bytes))
+            if not doc_ids:
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array([], type=id_type),
+                     pa.array([], type=pa.int32()),
+                     pa.array([], type=pa.int64())],
+                    names=["id", "band", "bh"],
+                )
+                continue
+            # base hash per gram: pmod(xxhash64(g), 2^31) — numpy int64 %
+            # has Python sign semantics (non-negative for a positive
+            # modulus), exactly pmod.
+            base = xxh64_many(gram_bytes) % p31
+            n_docs_b = len(doc_ids)
+            mins = np.empty((n_docs_b, num_hashes), dtype=np.int64)
+            # chunk the (grams x num_hashes) outer product to bound
+            # worker memory (~90 MB per 120k-gram chunk at 90 hashes)
+            c0 = 0
+            while c0 < n_docs_b:
+                c1 = c0 + 1
+                g0 = offsets[c0]
+                while c1 < n_docs_b and offsets[c1 + 1] - g0 <= 120_000:
+                    c1 += 1
+                g1 = offsets[c1]
+                prod = (base[g0:g1, None] * a_vec[None, :] + b_vec[None, :]) % mersenne
+                starts = np.asarray(offsets[c0:c1], dtype=np.int64) - g0
+                mins[c0:c1] = np.minimum.reduceat(prod, starts, axis=0)
+                c0 = c1
+            # band hash: xxhash64 of the comma-joined signature slice —
+            # identical bytes to concat_ws(",", m...) (Long.toString ≡
+            # str(int) for decimal longs)
+            band_strs: list = []
+            append = band_strs.append
+            for d in range(n_docs_b):
+                row = mins[d].tolist()
+                for bb in range(bands):
+                    append(",".join(map(str, row[bb * rows:(bb + 1) * rows])).encode())
+            bh = xxh64_many(band_strs)
+            out_ids = [i for i in doc_ids for _ in range(bands)]
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(out_ids, type=id_type),
+                 pa.array(np.tile(np.arange(bands, dtype=np.int32), n_docs_b)),
+                 pa.array(bh)],
+                names=["id", "band", "bh"],
+            )
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    return df.select(F.col(id_col), F.col(text_col)).mapInArrow(
+        _run, f"id {id_type}, band int, bh bigint"
+    )
+
+
+def minhash_band_table_catalyst(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int | None = None,
+    bands: int | None = None,
+    shingle_n: int = 3,
+    threshold: float = 0.9,
+) -> DataFrame:
+    """JVM reference for ``minhash_band_table`` (and its semantic twin
+    for the DuckDB oracles): fused shingle+explode Arrow pass → one
+    ``F.xxhash64`` per shingle → ``num_hashes`` plain arithmetic
+    projections (whole-stage codegen) → groupBy-min → band struct
+    explode. The parity test pins the Arrow fast path against this."""
+    num_hashes, bands = _resolve_minhash_geometry(threshold, num_hashes, bands)
+    rows = num_hashes // bands
+    params = _hash_params(num_hashes)
     ex = exploded_shingles(df, text_col, id_col, shingle_n).withColumn(
         "h", F.pmod(F.xxhash64("g"), F.lit(1 << 31))
     )
