@@ -99,6 +99,20 @@ def _spans_docs(spark: SparkSession, sf_dir: str, spread: bool = False) -> DataF
     return to_spans(_docs(spark, sf_dir, spread=spread))
 
 
+def _prepped_docs(spark: SparkSession, sf_dir: str, spread: bool = False) -> DataFrame:
+    """(doc_id, clean_text) for the mention-only query paths:
+    ``spans_doc_text`` is row-identical to
+    ``concat_text_spans(to_spans(...))`` (parity-pinned) but skips
+    building the span arrays the extraction consumer never reads —
+    the interpreted chunk/sort/join chain cost ~0.85 s of a 1.2 s
+    mention-count query at 50k docs. Span-model consumers (the
+    flagship, multimodal) keep ``_spans_docs``."""
+    from ontology_learning_spark.operators import extraction as E
+    from ontology_learning_spark.sources.adapters import spans_doc_text
+
+    return E.preprocess(spans_doc_text(_docs(spark, sf_dir, spread=spread)))
+
+
 def _edges_df(spark: SparkSession) -> DataFrame:
     return spark.createDataFrame(
         [(c, "SUBCLASS_OF", p) for c, p in HIERARCHY], "src string, rel_type string, dst string"
@@ -174,8 +188,7 @@ def _q_kg_mention_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ontology_learning_spark.operators import extraction as E
 
     surfaces = tuple(_vocab_surfaces())
-    docs = _spans_docs(spark, sf_dir, spread=True)
-    prepped = E.preprocess(E.concat_text_spans(docs))
+    prepped = _prepped_docs(spark, sf_dir, spread=True)
     # relations=False: this consumer never reads the triples column and
     # the relation regex pass is ~2/3 of the extraction Python cost —
     # mentions are identical (pinned by tests/test_round6_extract_flag.py)
@@ -188,8 +201,7 @@ def _q_kg_doc_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ontology_learning_spark.operators import extraction as E
 
     surfaces = tuple(_vocab_surfaces())
-    docs = _spans_docs(spark, sf_dir, spread=True)
-    prepped = E.preprocess(E.concat_text_spans(docs))
+    prepped = _prepped_docs(spark, sf_dir, spread=True)
     # relations=False: mention-only consumer (see kg_mention_counts)
     extracted = E.extract(prepped, surfaces, relations=False)
     m = extracted.select(
@@ -456,8 +468,7 @@ def _q_kg_saturation(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ontology_learning_spark.operators import extraction as E
 
     surfaces = tuple(_vocab_surfaces())
-    docs = _spans_docs(spark, sf_dir)
-    prepped = E.preprocess(E.concat_text_spans(docs))
+    prepped = _prepped_docs(spark, sf_dir)
     # relations=False: mention-only consumer (see kg_mention_counts)
     extracted = E.extract(prepped, surfaces, relations=False)
     m = extracted.select(

@@ -51,3 +51,32 @@ def to_spans(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
         F.col(id_col).cast("string").alias("doc_id"),
         F.concat(text_spans, media_span).alias("spans"),
     )
+
+
+def spans_doc_text(df: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """(doc_id, doc_text) ≡ ``concat_text_spans(to_spans(df))`` projected
+    to its two output columns — WITHOUT building the span arrays.
+
+    Exactness argument: ``to_spans`` chunks ``split(trim(text), '\\s+')``
+    into consecutive ``tokens_per_span`` slices at offsets 0..k-1 (array
+    order = offset order, offsets unique, the media span's text is
+    null), and ``concat_text_spans`` offset-sorts (a stable identity
+    here), drops null-text spans, and joins chunk texts with a single
+    space — so the composition is exactly the flat token join
+    ``concat_ws(" ", split(trim(text), "\\s+"))``, including the empty-
+    token edges (leading/trailing non-space whitespace survives
+    F.trim and F.split keeps the resulting empty tokens on BOTH
+    paths). Pinned by ``tests/test_round6_spans_text.py`` on
+    adversarial inputs and the driver corpus.
+
+    Why it exists (guide §1.2 "don't compute things you throw away"):
+    the interpreted higher-order chunk/sort/filter/join chain costs
+    more than the whole Python mention scan it feeds on mention-only
+    query paths (~0.85 s of a 1.2 s query at 50k docs), while consumers
+    of the SPAN MODEL itself (the flagship pipeline, multimodal decode)
+    keep the real ``to_spans``."""
+    return df.select(
+        F.col(id_col).cast("string").alias("doc_id"),
+        F.concat_ws(" ", F.split(F.trim(F.col(text_col)), r"\s+")).alias("doc_text"),
+    )
