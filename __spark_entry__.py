@@ -1344,16 +1344,23 @@ def _q_emb_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ontology_learning_spark.operators.multimodal import decode_media_refs
+    from ontology_learning_spark.operators.multimodal import decode_media_ref_rows
 
     # every selected field is parsed by decode_media_header out of REAL
     # planted container bytes (PNG IHDR / JPEG SOF / GIF LSD / WAV fmt)
     # and recomputed by the oracle from the plant formula — the hash
     # match proves the stdlib header parse round-trips.
-    # decode_media_refs fuses plant+decode into one Python pass so the
-    # payload bytes never cross the Arrow boundary (same functions,
-    # same rows — see multimodal.py).
-    return decode_media_refs(_spans_docs(spark, sf_dir, spread=True)).select(
+    # decode_media_ref_rows fuses plant+decode into one Python pass so
+    # the payload bytes never cross the Arrow boundary; the refs frame
+    # is the direct projection of to_spans' single media span per doc
+    # ("img://<doc_id>/0" — same expression), skipping the span-array
+    # construction this consumer discards (parity-pinned in
+    # tests/test_round6_multimodal_fusion.py).
+    refs = _docs(spark, sf_dir, spread=True).select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.concat(F.lit("img://"), F.col("doc_id").cast("string"), F.lit("/0")).alias("media_ref"),
+    )
+    return decode_media_ref_rows(refs).select(
         "doc_id", "media_ref", "codec", "width", "height", "n_frames",
         "channels", "sample_rate", "duration_ms",
     )

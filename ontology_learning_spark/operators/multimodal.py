@@ -165,6 +165,21 @@ def decode_media_refs(docs: DataFrame) -> DataFrame:
     each way at 50k refs). Same functions, same rows; only the bytes'
     travel is removed. Real object-store media uses ``decode_media``
     on fetched content as before."""
+    refs = docs.select(
+        "doc_id",
+        F.explode(F.filter("spans", lambda s: s["kind"] == "media")).alias("s"),
+    ).select("doc_id", F.col("s.media_ref").alias("media_ref"))
+    return decode_media_ref_rows(refs)
+
+
+def decode_media_ref_rows(refs: DataFrame) -> DataFrame:
+    """The plant+decode pass of ``decode_media_refs`` over an already-
+    projected (doc_id, media_ref) frame. Split out so callers that can
+    DERIVE the refs without building span arrays (``to_spans`` emits
+    exactly one media span per doc with ref ``img://<doc_id>/0``, so
+    the refs frame is a plain projection of the flat table) skip the
+    interpreted chunk-transform chain that only existed to produce the
+    text spans this consumer discards (guide §1.2)."""
 
     cols = ["doc_id", "media_ref", "media_type", "codec", "width", "height",
             "n_frames", "mean_luma", "channels", "sample_rate",
@@ -185,10 +200,6 @@ def decode_media_refs(docs: DataFrame) -> DataFrame:
                 )
             yield pd.DataFrame(recs, columns=cols)
 
-    refs = docs.select(
-        "doc_id",
-        F.explode(F.filter("spans", lambda s: s["kind"] == "media")).alias("s"),
-    ).select("doc_id", F.col("s.media_ref").alias("media_ref"))
     return refs.mapInPandas(_run, DECODED_SCHEMA)
 
 
