@@ -172,6 +172,50 @@ def exploded_shingles(df: DataFrame, text_col: str = "text",
     )
 
 
+def exploded_gram_hashes(df: DataFrame, text_col: str = "text",
+                         id_col: str = "doc_id", n: int = 3) -> DataFrame:
+    """(id, gh) rows ≡ ``exploded_shingles(...).select(id,
+    xxhash64(g))`` — the gram hash folded into the SAME Arrow pass
+    (``functions.xxh64`` is pinned bit-exact with ``F.xxhash64``), so
+    consumers that only ever see hashed grams (decontamination) never
+    serialize the gram STRINGS across the Arrow boundary at all: the
+    pass emits (id, int64) — ~8 bytes vs ~50-char gram text per row
+    (guide §4.1: you control how many bytes cross)."""
+    import pyarrow as pa
+
+    from ..functions.xxh64 import xxh64_many
+
+    ws_split = _JAVA_WS.split
+
+    def _run(batches):
+        for b in batches:
+            id_type = b.column(0).type
+            ids = b.column(0).to_pylist()
+            texts = b.column(1).to_pylist()
+            out_id: list = []
+            gram_bytes: list = []
+            extend_id = out_id.extend
+            extend_g = gram_bytes.extend
+            for i, txt in zip(ids, texts):
+                toks = ws_split((txt or "").strip(" ").lower())
+                if len(toks) < n:
+                    continue
+                gs = dict.fromkeys(
+                    " ".join(toks[j:j + n]) for j in range(len(toks) - n + 1)
+                )
+                extend_g(g.encode("utf-8") for g in gs)
+                extend_id([i] * len(gs))
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(out_id, type=id_type), pa.array(xxh64_many(gram_bytes))],
+                names=["id", "gh"],
+            )
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    return df.select(F.col(id_col), F.col(text_col)).mapInArrow(
+        _run, f"id {id_type}, gh bigint"
+    )
+
+
 # Universal-hash constants for derived minhashes: minhash_i over a
 # shingle set = min of (a_i*h + b_i) mod P where h = xxhash64(shingle)
 # folded to 31 bits. One base hash per shingle; the per-i arithmetic is
@@ -929,12 +973,12 @@ def contamination_report(
     cost is dropping one training document.
     """
     ev = (
-        exploded_shingles(eval_df, text_col, id_col, n)
-        .select(F.xxhash64("g").alias("gh"))
+        exploded_gram_hashes(eval_df, text_col, id_col, n)
+        .select("gh")
         .distinct()
     )
-    tr = exploded_shingles(train, text_col, id_col, n).select(
-        F.col("id").alias(id_col), F.xxhash64("g").alias("gh")
+    tr = exploded_gram_hashes(train, text_col, id_col, n).select(
+        F.col("id").alias(id_col), "gh"
     )
     return (
         tr.join(F.broadcast(ev), "gh")

@@ -73,3 +73,19 @@ def test_band_table_parity_corpus(spark):
     old = minhash_band_table_catalyst(docs, threshold=0.9)
     assert new.exceptAll(old).count() == 0
     assert old.exceptAll(new).count() == 0
+
+
+def test_exploded_gram_hashes_parity(spark):
+    from ontology_learning_spark.operators.dedup import (
+        exploded_gram_hashes,
+        exploded_shingles,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    adv = spark.createDataFrame(ADVERSARIAL, "doc_id string, text string")
+    for df, n in ((docs, 8), (docs, 3), (adv, 2)):
+        ref = exploded_shingles(df, "text", "doc_id", n).select(
+            "id", F.xxhash64("g").alias("gh"))
+        new = exploded_gram_hashes(df, "text", "doc_id", n)
+        assert new.exceptAll(ref).count() == 0
+        assert ref.exceptAll(new).count() == 0
